@@ -1,0 +1,299 @@
+"""SAH BVH construction on host, emitting flat device-friendly arrays.
+
+Rebuild of the reference's two builders (the *algorithms*, not the code):
+
+- :func:`build_bvh` with ``method="binned"`` — 16-bin SAH over the
+  max-extent axis with prefix/suffix box+count sweeps, median-split fallback
+  when one side is empty, leaf when ``count <= leaf_size`` or when the
+  no-split cost wins (reference BVH::FindSplit, src/bvh/tree.cpp:161-287;
+  cost model: traverseCost=0, intersectCost=1, tree.cpp:175-176, 220-237).
+- ``method="sweep"`` — full sort-based SAH on all 3 axes with exact
+  left/right surface-area prefix arrays (reference BVH::FindSplitSweep,
+  src/bvh/tree.cpp:51-159; recommended for mixed-size triangles,
+  HOWTO.txt:44-49).
+
+Differences from the reference (deliberate, TPU-facing):
+- Children are still allocated adjacently (left = ``child``, right =
+  ``child+1``, tree.cpp:273-282) but the leaf bit lives in a separate
+  ``count`` array instead of bit 31 of ``first`` (tree.h:60-72) — int32
+  SoA beats bitfield tricks on TPU.
+- The build returns a permutation; callers reorder the flat triangle arrays
+  so every leaf covers a contiguous range (same invariant the reference
+  maintains by physically reordering ``tris``, tree.cpp:245-253).
+- ``leaf_size`` defaults to 8 (reference: 4, tree.cpp:164) — leaves are
+  DMA-staged in blocks on TPU, so slightly fatter leaves amortize transfer
+  setup without hurting the SAH cost much.
+
+A native C++ builder with identical output lives in snail_tpu/native and is
+used automatically for large scenes when available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+MAX_DEPTH = 64  # reference bvh/tree.h:33
+N_BINS = 16  # reference bvh/tree.cpp:188
+
+
+def _box_sa(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Surface area (actually 2*(wd+wh+dh) like reference BoxSA,
+    src/bvh/tree.cpp:45-48)."""
+    d = np.maximum(hi - lo, 0.0)
+    return 2.0 * (d[..., 0] * (d[..., 1] + d[..., 2]) + d[..., 1] * d[..., 2])
+
+
+@dataclasses.dataclass
+class BVH:
+    """Flat BVH arrays.
+
+    node_lo/node_hi : float32[N, 3] node bounds
+    child           : int32[N] left-child index (inner) / first tri (leaf)
+    count           : int32[N] 0 for inner nodes, triangle count for leaves
+    axis            : int32[N] split axis (inner only)
+    first_node      : int32[N] near-child bit for positive-direction rays
+                      (reference Node::firstNode, tree.cpp:277-279)
+    order           : int32[T] permutation applied to the triangle arrays
+    depth           : max depth reached
+    """
+
+    node_lo: np.ndarray
+    node_hi: np.ndarray
+    child: np.ndarray
+    count: np.ndarray
+    axis: np.ndarray
+    first_node: np.ndarray
+    order: np.ndarray
+    depth: int
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.child)
+
+    @property
+    def num_tris(self) -> int:
+        return len(self.order)
+
+    def leaf_stats(self) -> dict:
+        leaf = self.count > 0
+        return {
+            "nodes": self.num_nodes,
+            "leaves": int(leaf.sum()),
+            "depth": self.depth,
+            "max_leaf": int(self.count[leaf].max()) if leaf.any() else 0,
+            "mean_leaf": float(self.count[leaf].mean()) if leaf.any() else 0.0,
+        }
+
+    def sah_cost(self) -> float:
+        """Total SAH cost (sum over leaves of count * SA / SA_root) — the
+        invariant checked by tests."""
+        root_sa = _box_sa(self.node_lo[0], self.node_hi[0])
+        leaf = self.count > 0
+        return float(
+            np.sum(_box_sa(self.node_lo[leaf], self.node_hi[leaf]) * self.count[leaf])
+            / max(root_sa, 1e-30)
+        )
+
+
+def build_bvh(
+    tri_lo: np.ndarray,
+    tri_hi: np.ndarray,
+    leaf_size: int = 8,
+    method: str = "binned",
+) -> BVH:
+    """Build from per-triangle AABBs. Returns flat arrays + permutation."""
+    t = len(tri_lo)
+    assert t > 0
+    centers = (tri_lo + tri_hi) * 0.5
+
+    # Worst case 2T-1 nodes; reference reserves 2T (tree.cpp:301).
+    cap = max(2 * t, 16)
+    node_lo = np.empty((cap, 3), np.float32)
+    node_hi = np.empty((cap, 3), np.float32)
+    child = np.zeros(cap, np.int32)
+    count = np.zeros(cap, np.int32)
+    axis = np.zeros(cap, np.int32)
+    first_node = np.zeros(cap, np.int32)
+
+    order = np.arange(t, dtype=np.int64)
+    root_lo = tri_lo.min(axis=0)
+    root_hi = tri_hi.max(axis=0)
+    node_lo[0], node_hi[0] = root_lo, root_hi
+    n_nodes = 1
+    max_depth_seen = 0
+
+    # Explicit stack of (node, first, count, depth, bbox_lo, bbox_hi)
+    stack = [(0, 0, t, 0, root_lo, root_hi)]
+
+    while stack:
+        nid, first, cnt, depth, blo, bhi = stack.pop()
+        max_depth_seen = max(max_depth_seen, depth)
+        seg = order[first : first + cnt]
+
+        def make_leaf():
+            # tighten leaf bbox to its triangles (reference FindSplitSweep
+            # recomputes the leaf box, tree.cpp:56-58; FindSplit keeps the
+            # parent box — we always tighten, strictly better culling)
+            node_lo[nid] = tri_lo[seg].min(axis=0)
+            node_hi[nid] = tri_hi[seg].max(axis=0)
+            child[nid] = first
+            count[nid] = cnt
+
+        if cnt <= leaf_size or depth >= MAX_DEPTH - 1:
+            make_leaf()
+            continue
+
+        slo, shi = tri_lo[seg], tri_hi[seg]
+        ext = bhi - blo
+
+        if method == "sweep":
+            split = _find_split_sweep(slo, shi, centers[seg])
+        else:
+            split = _find_split_binned(slo, shi, blo, bhi, ext)
+
+        if split is None:
+            # no-split cost won (tree.cpp:235-237 / 106-108)
+            make_leaf()
+            continue
+
+        is_left, sp_axis, lbox, rbox = split
+        n_left = int(is_left.sum())
+        if n_left == 0 or n_left == cnt:
+            # median fallback (tree.cpp:260-271)
+            sp_axis = int(np.argmax(ext))
+            key = centers[seg][:, sp_axis]
+            mid = cnt // 2
+            part = np.argpartition(key, mid)
+            is_left = np.zeros(cnt, bool)
+            is_left[part[:mid]] = True
+            n_left = mid
+            lseg = seg[is_left]
+            rseg = seg[~is_left]
+            lbox = (tri_lo[lseg].min(axis=0), tri_hi[lseg].max(axis=0))
+            rbox = (tri_lo[rseg].min(axis=0), tri_hi[rseg].max(axis=0))
+
+        # stable partition keeps SAH-ish ordering; reorder `order` in place
+        perm = np.concatenate([np.where(is_left)[0], np.where(~is_left)[0]])
+        order[first : first + cnt] = seg[perm]
+
+        cidx = n_nodes
+        n_nodes += 2
+        child[nid] = cidx
+        count[nid] = 0
+        axis[nid] = sp_axis
+        # near-child precompute (tree.cpp:277-279): 0 if left box starts
+        # first on the split axis, ties broken by max.
+        l_lo, l_hi = lbox
+        r_lo, r_hi = rbox
+        if l_lo[sp_axis] == r_lo[sp_axis]:
+            fn = 0 if l_hi[sp_axis] < r_hi[sp_axis] else 1
+        else:
+            fn = 1 if l_lo[sp_axis] > r_lo[sp_axis] else 0
+        first_node[nid] = fn
+
+        node_lo[cidx], node_hi[cidx] = l_lo, l_hi
+        node_lo[cidx + 1], node_hi[cidx + 1] = r_lo, r_hi
+        stack.append((cidx + 1, first + n_left, cnt - n_left, depth + 1, r_lo, r_hi))
+        stack.append((cidx, first, n_left, depth + 1, l_lo, l_hi))
+
+    return BVH(
+        node_lo=node_lo[:n_nodes].copy(),
+        node_hi=node_hi[:n_nodes].copy(),
+        child=child[:n_nodes].copy(),
+        count=count[:n_nodes].copy(),
+        axis=axis[:n_nodes].copy(),
+        first_node=first_node[:n_nodes].copy(),
+        order=order.astype(np.int64),
+        depth=max_depth_seen,
+    )
+
+
+def _find_split_binned(slo, shi, blo, bhi, ext):
+    """One binned-SAH split attempt (reference FindSplit,
+    tree.cpp:174-237). Returns (is_left, axis, lbox, rbox) or None if the
+    no-split cost wins."""
+    cnt = len(slo)
+    sp_axis = int(np.argmax(ext))
+    width = ext[sp_axis]
+    if width <= 0:
+        # flat node: binning impossible; caller falls back via empty side
+        return (np.zeros(cnt, bool), sp_axis, (blo, bhi), (blo, bhi))
+
+    mul = N_BINS * (1.0 - 1e-6) / width
+    c = (slo[:, sp_axis] + shi[:, sp_axis]) * 0.5
+    bin_idx = np.clip(((c - blo[sp_axis]) * mul).astype(np.int32), 0, N_BINS - 1)
+
+    bin_cnt = np.bincount(bin_idx, minlength=N_BINS)
+    bin_lo = np.full((N_BINS, 3), np.inf, np.float32)
+    bin_hi = np.full((N_BINS, 3), -np.inf, np.float32)
+    for b in range(N_BINS):
+        m = bin_idx == b
+        if m.any():
+            bin_lo[b] = slo[m].min(axis=0)
+            bin_hi[b] = shi[m].max(axis=0)
+
+    left_lo = np.minimum.accumulate(bin_lo, axis=0)
+    left_hi = np.maximum.accumulate(bin_hi, axis=0)
+    right_lo = np.minimum.accumulate(bin_lo[::-1], axis=0)[::-1]
+    right_hi = np.maximum.accumulate(bin_hi[::-1], axis=0)[::-1]
+    left_cnt = np.cumsum(bin_cnt)
+    right_cnt = np.cumsum(bin_cnt[::-1])[::-1]
+
+    costs = np.empty(N_BINS - 1)
+    for n in range(1, N_BINS):
+        cl = left_cnt[n - 1]
+        cr = right_cnt[n]
+        costs[n - 1] = (
+            (_box_sa(left_lo[n - 1], left_hi[n - 1]) * cl if cl else 0.0)
+            + (_box_sa(right_lo[n], right_hi[n]) * cr if cr else 0.0)
+        )
+    best = int(np.argmin(costs)) + 1
+    no_split = cnt * _box_sa(blo, bhi)
+    if no_split < costs[best - 1]:
+        return None
+
+    is_left = bin_idx < best
+    lbox = (left_lo[best - 1], left_hi[best - 1])
+    rbox = (right_lo[best], right_hi[best])
+    return is_left, sp_axis, lbox, rbox
+
+
+def _find_split_sweep(slo, shi, centers):
+    """Exact sweep SAH over all 3 axes (reference FindSplitSweep,
+    tree.cpp:64-108). Sort key = 3*a + ba + ca == sum of the three vertex
+    coords on the axis (OrderTris, tree.cpp:8-22) — equivalent to sorting by
+    vertex-coordinate sum; we use the center which orders identically for
+    the cost scan's purposes."""
+    cnt = len(slo)
+    best = (np.inf, None, None, None, None)  # cost, axis, split_idx, sort
+    for ax in range(3):
+        sort = np.argsort(centers[:, ax], kind="stable")
+        lo_s, hi_s = slo[sort], shi[sort]
+        l_lo = np.minimum.accumulate(lo_s, axis=0)
+        l_hi = np.maximum.accumulate(hi_s, axis=0)
+        r_lo = np.minimum.accumulate(lo_s[::-1], axis=0)[::-1]
+        r_hi = np.maximum.accumulate(hi_s[::-1], axis=0)[::-1]
+        n = np.arange(1, cnt)
+        cost = _box_sa(l_lo[:-1], l_hi[:-1]) * n + _box_sa(r_lo[1:], r_hi[1:]) * (
+            cnt - n
+        )
+        i = int(np.argmin(cost))
+        if cost[i] < best[0]:
+            best = (float(cost[i]), ax, i + 1, sort, (l_lo, l_hi, r_lo, r_hi))
+    cost, ax, split, sort, boxes = best
+    blo = np.minimum(slo.min(axis=0), slo.min(axis=0))
+    no_split = cnt * _box_sa(slo.min(axis=0), shi.max(axis=0))
+    if no_split < cost:
+        return None
+    l_lo, l_hi, r_lo, r_hi = boxes
+    is_left = np.zeros(cnt, bool)
+    is_left[sort[:split]] = True
+    return (
+        is_left,
+        ax,
+        (l_lo[split - 1], l_hi[split - 1]),
+        (r_lo[split], r_hi[split]),
+    )

@@ -1,0 +1,206 @@
+"""Device-resident scene: the rebuild of ``Scene<AccStruct>``
+(reference src/scene.h) as a jit-friendly pytree.
+
+Holds the flat BVH node arrays, permuted triangle SoA, shading SoA,
+material table and lights as device arrays. The traversal backend
+("reference" jnp while-loop vs "pallas" kernels) is a static field so the
+integrator stays backend-agnostic, mirroring how the reference's
+``Scene<BVH>`` vs ``Scene<DBVH>`` pick traversal at compile time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Light, static_field
+from ..bvh.build import BVH
+from .base_scene import BaseScene, FlatGeometry
+from .materials import MaterialTable
+
+
+def _register(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    data = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("static")]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+    return cls
+
+
+@_register
+class TracedScene:
+    # BVH (flat arrays, reference BVH::Node SoA-ized — bvh/tree.h:60-72)
+    node_lo: jnp.ndarray
+    node_hi: jnp.ndarray
+    node_child: jnp.ndarray
+    node_count: jnp.ndarray
+    node_axis: jnp.ndarray
+    node_first: jnp.ndarray
+    # Triangles, permuted to leaf order (Triangle precompute, triangle.h:123-136)
+    tri_a: jnp.ndarray
+    tri_ba: jnp.ndarray
+    tri_ca: jnp.ndarray
+    # Shading triangles (ShTriangle deltas, triangle.h:181-230)
+    sh_n0: jnp.ndarray
+    sh_ne1: jnp.ndarray
+    sh_ne2: jnp.ndarray
+    sh_uv0: jnp.ndarray
+    sh_uve1: jnp.ndarray
+    sh_uve2: jnp.ndarray
+    sh_mat: jnp.ndarray
+    # Materials (SoA table)
+    mat_diffuse: jnp.ndarray
+    mat_specular: jnp.ndarray
+    mat_emissive: jnp.ndarray
+    mat_dissolve: jnp.ndarray
+    mat_reflect: jnp.ndarray
+    mat_flags: jnp.ndarray
+    mat_difftex: jnp.ndarray
+    mat_disstex: jnp.ndarray
+    # Lights
+    lights: Optional[Light]
+    # Textures (atlas arrays; None => untextured scene)
+    tex_atlas: Optional[jnp.ndarray] = None
+    tex_meta: Optional[jnp.ndarray] = None
+    # static meta
+    num_tris: int = static_field(default=0)
+    num_nodes: int = static_field(default=0)
+    leaf_max: int = static_field(default=8)
+    depth: int = static_field(default=32)
+    backend: str = static_field(default="auto")  # auto | reference | pallas
+
+    @property
+    def bbox(self):
+        return self.node_lo[0], self.node_hi[0]
+
+    def with_backend(self, backend: str) -> "TracedScene":
+        return dataclasses.replace(self, backend=backend)
+
+    def with_lights(self, lights: Optional[Light]) -> "TracedScene":
+        return dataclasses.replace(self, lights=lights)
+
+
+def make_traced_scene(
+    geom: FlatGeometry,
+    bvh: BVH,
+    materials: Optional[MaterialTable] = None,
+    lights: Optional[Light] = None,
+    textures=None,
+    backend: str = "auto",
+    leaf_pad: int = 8,
+) -> TracedScene:
+    """Assemble device arrays from host-built pieces.
+
+    The triangle arrays are permuted to the BVH's leaf order (the reference
+    physically reorders tris at build, bvh/tree.cpp:245-253) and padded with
+    ``leaf_pad`` degenerate triangles so fixed-size leaf loads can over-read.
+    """
+    g = geom.permuted(bvh.order).padded(leaf_pad)
+    if materials is None:
+        materials = MaterialTable.build({"": 0}, [])
+
+    leaf_max = int(bvh.count.max()) if len(bvh.count) else 1
+
+    def dev(x):
+        return jnp.asarray(x)
+
+    tex_atlas = tex_meta = None
+    if textures is not None:
+        tex_atlas, tex_meta = textures
+
+    return TracedScene(
+        node_lo=dev(bvh.node_lo),
+        node_hi=dev(bvh.node_hi),
+        node_child=dev(bvh.child),
+        node_count=dev(bvh.count),
+        node_axis=dev(bvh.axis),
+        node_first=dev(bvh.first_node),
+        tri_a=dev(g.a),
+        tri_ba=dev(g.ba),
+        tri_ca=dev(g.ca),
+        sh_n0=dev(g.n0),
+        sh_ne1=dev(g.n_e1),
+        sh_ne2=dev(g.n_e2),
+        sh_uv0=dev(g.uv0),
+        sh_uve1=dev(g.uv_e1),
+        sh_uve2=dev(g.uv_e2),
+        sh_mat=dev(g.mat_id),
+        mat_diffuse=dev(materials.diffuse),
+        mat_specular=dev(materials.specular),
+        mat_emissive=dev(materials.emissive),
+        mat_dissolve=dev(materials.dissolve),
+        mat_reflect=dev(materials.reflectivity),
+        mat_flags=dev(materials.flags),
+        mat_difftex=dev(materials.diffuse_tex),
+        mat_disstex=dev(materials.dissolve_tex),
+        lights=lights,
+        tex_atlas=tex_atlas,
+        tex_meta=tex_meta,
+        num_tris=geom.num_tris,
+        num_nodes=bvh.num_nodes,
+        leaf_max=leaf_max,
+        depth=bvh.depth,
+        backend=backend,
+    )
+
+
+def load_scene(
+    obj_path: str,
+    mtl_path: Optional[str] = None,
+    tex_dir: Optional[str] = None,
+    cache_dir: Optional[str] = "dump",
+    flip_normals: bool = True,
+    gen_normals: bool = True,
+    lights: Optional[Light] = None,
+    backend: str = "auto",
+    leaf_size: int = 8,
+) -> TracedScene:
+    """One-call scene load: the rtracer startup path
+    (rtracer.cpp:518-587: load OBJ -> FlipNormals -> GenNormals ->
+    BVH::Construct -> materials/textures -> UpdateMaterialIds)."""
+    import os
+
+    from ..bvh.cache import build_or_load
+    from .wavefront import load_wavefront_obj
+    from .materials import load_material_descs, MaterialTable
+    from .lights import default_scene_lights
+
+    base = load_wavefront_obj(obj_path)
+    if flip_normals:
+        base.flip_normals()
+    if gen_normals:
+        base.gen_normals()
+    geom = base.flatten()
+    lo, hi = geom.bounds()
+    name = os.path.splitext(os.path.basename(obj_path))[0]
+    bvh = build_or_load(
+        lo, hi, cache_dir=cache_dir, name=name, leaf_size=leaf_size
+    )
+
+    descs = []
+    if mtl_path is None:
+        for lib in base.mtl_libs:
+            cand = os.path.join(os.path.dirname(obj_path), lib)
+            if os.path.exists(cand):
+                mtl_path = cand
+                break
+    if mtl_path and os.path.exists(mtl_path):
+        descs = load_material_descs(mtl_path)
+
+    textures = None
+    tex_ids = {}
+    if tex_dir and descs:
+        from .textures import load_texture_atlas
+
+        textures, tex_ids = load_texture_atlas(descs, tex_dir)
+
+    mats = MaterialTable.build(base.mat_names, descs, tex_ids)
+    if lights is None:
+        lights = default_scene_lights(lo.min(axis=0), hi.max(axis=0))
+    return make_traced_scene(
+        geom, bvh, mats, lights, textures, backend=backend
+    )

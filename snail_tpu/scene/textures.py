@@ -1,0 +1,210 @@
+"""Mipmapped textures on device.
+
+Rebuild of ``MipmapTexture`` + ``PointSampler``
+(reference src/mipmap_texture.{h,cpp}, src/sampling/point_sampler.cpp):
+
+- power-of-2 RGB textures with a full mip chain (box-filtered GenMips,
+  mipmap_texture.cpp);
+- point sampling with wrap addressing and the reference's vertical flip
+  (point_sampler.cpp:79-80);
+- mip level selected from the uv footprint: ``pixels = floor(min(diff.x*w,
+  diff.y*h))``, mip = position of highest set bit + 1, clamped to the chain
+  (point_sampler.cpp:97-108).
+
+Device layout: all textures share one **pyramid atlas** ``[NT, 2H, W, 3]``
+(float32) — mip L of a texture lives at row offset ``2H * (1 - 2^-L)``, the
+classic vertically-stacked pyramid, so one gather fetches any texel of any
+mip of any texture. ``meta[NT, 4] = (w, h, n_mips, 0)``. Smaller textures
+are upsampled to the common base size at load (area-preserving repeat), so
+w/h are uniform; per-texture true sizes stay in meta for footprint math.
+
+The SAT (summed-area table) sampler of the reference
+(src/sampling/sat_sampler.h) is represented by :func:`build_sat` /
+:func:`sample_sat` for box-filtered lookups with arbitrary footprints.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_pow2(x: int) -> bool:
+    return x > 0 and (x & (x - 1)) == 0
+
+
+def gen_mips(img: np.ndarray) -> List[np.ndarray]:
+    """Box-filter mip chain down to 1x1 (reference MipmapTexture::GenMips)."""
+    assert _is_pow2(img.shape[0]) and _is_pow2(img.shape[1]), img.shape
+    mips = [img.astype(np.float32)]
+    cur = mips[0]
+    while cur.shape[0] > 1 or cur.shape[1] > 1:
+        h = max(cur.shape[0] // 2, 1)
+        w = max(cur.shape[1] // 2, 1)
+        if cur.shape[0] > 1 and cur.shape[1] > 1:
+            nxt = (
+                cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2]
+            ) * 0.25
+        elif cur.shape[0] > 1:
+            nxt = (cur[0::2] + cur[1::2]) * 0.5
+        else:
+            nxt = (cur[:, 0::2] + cur[:, 1::2]) * 0.5
+        mips.append(nxt.astype(np.float32))
+        cur = nxt
+    return mips
+
+
+def build_pyramid_atlas(images: List[np.ndarray]):
+    """Pack images (each [h, w, 3], power-of-2) into the pyramid atlas.
+
+    Returns (atlas float32[NT, 2H, W, 3], meta int32[NT, 4]).
+    """
+    assert images
+    base_h = max(i.shape[0] for i in images)
+    base_w = max(i.shape[1] for i in images)
+    nt = len(images)
+    atlas = np.zeros((nt, 2 * base_h, base_w, 3), np.float32)
+    meta = np.zeros((nt, 4), np.int32)
+    for t, img in enumerate(images):
+        # upsample to common base size (nearest repeat keeps texel identity)
+        ry = base_h // img.shape[0]
+        rx = base_w // img.shape[1]
+        up = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
+        mips = gen_mips(up)
+        off = 0
+        for lvl, m in enumerate(mips):
+            atlas[t, off : off + m.shape[0], : m.shape[1]] = m
+            off += m.shape[0]
+        meta[t] = (base_w, base_h, len(mips), 0)
+    return jnp.asarray(atlas), jnp.asarray(meta)
+
+
+def mip_from_footprint(diff_uv, w, h, n_mips):
+    """Reference mip rule (point_sampler.cpp:97-108): pixels =
+    floor(min(diff.x*w, diff.y*h)); mip = bit-length of pixels."""
+    px = jnp.minimum(diff_uv[..., 0] * w, diff_uv[..., 1] * h)
+    px = jnp.maximum(px, 0.0)
+    ip = jnp.floor(px).astype(jnp.int32)
+    # bit length: floor(log2(ip)) + 1 for ip >= 1
+    mip = jnp.where(
+        ip > 0,
+        jnp.floor(jnp.log2(jnp.maximum(ip.astype(jnp.float32), 1.0))).astype(
+            jnp.int32
+        )
+        + 1,
+        0,
+    )
+    return jnp.clip(mip, 0, n_mips - 1)
+
+
+def sample_atlas(atlas, meta, tex_id, uv, diff_uv=None):
+    """Point-sample the pyramid atlas.
+
+    tex_id int32[...] (-1 allowed: result meaningless, caller masks),
+    uv float32[..., 2], diff_uv optional float32[..., 2] uv footprint.
+    Returns rgb float32[..., 3] in [0, 1].
+    """
+    tid = jnp.maximum(tex_id, 0)
+    m = jnp.take(meta, tid, axis=0)
+    w = m[..., 0]
+    h = m[..., 1]
+    n_mips = m[..., 2]
+    base_h = atlas.shape[1] // 2
+
+    if diff_uv is not None:
+        mip = mip_from_footprint(diff_uv, w.astype(jnp.float32),
+                                 h.astype(jnp.float32), n_mips)
+    else:
+        mip = jnp.zeros_like(w)
+
+    # integer texel coords at mip 0, shifted down (point_sampler.cpp:110-116)
+    x = (uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32)
+    y = (uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32)
+    x = jnp.right_shift(x, mip) & (jnp.right_shift(w, mip) - 1)
+    y = jnp.right_shift(y, mip) & (jnp.right_shift(h, mip) - 1)
+    # vertical flip (point_sampler.cpp:79-80)
+    y = jnp.right_shift(h, mip) - 1 - y
+    # pyramid row offset: 2H * (1 - 2^-mip) = 2H - (2H >> mip)
+    row = (2 * base_h - jnp.right_shift(2 * base_h, mip)) + y
+    return atlas[tid, row, x]
+
+
+def build_sat(img: np.ndarray) -> np.ndarray:
+    """Summed-area table (reference SATSampler, sampling/sat_sampler.h:10-57)."""
+    return np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+
+
+def sample_sat(sat, uv_min, uv_max):
+    """Mean color over an axis-aligned uv rect via 4 SAT taps."""
+    h, w = sat.shape[:2]
+    x0 = jnp.clip((uv_min[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip((uv_max[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip((uv_min[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip((uv_max[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.maximum(x1, x0)
+    y1 = jnp.maximum(y1, y0)
+    s = jnp.asarray(sat)
+    total = (
+        s[y1, x1]
+        - jnp.where((y0 > 0)[..., None], s[jnp.maximum(y0 - 1, 0), x1], 0.0)
+        - jnp.where((x0 > 0)[..., None], s[y1, jnp.maximum(x0 - 1, 0)], 0.0)
+        + jnp.where(
+            ((x0 > 0) & (y0 > 0))[..., None],
+            s[jnp.maximum(y0 - 1, 0), jnp.maximum(x0 - 1, 0)],
+            0.0,
+        )
+    )
+    area = ((x1 - x0 + 1) * (y1 - y0 + 1)).astype(jnp.float32)
+    return (total / area[..., None]).astype(jnp.float32)
+
+
+def load_texture_atlas(descs, tex_dir: str):
+    """Load the diffuse/dissolve maps referenced by material descs
+    (reference LoadTextures, shading/material.cpp:150-166; bmp/tga/png).
+    Returns ((atlas, meta), name->tex_id) or (None, {}) if none load."""
+    import os
+
+    names: List[str] = []
+    for d in descs:
+        for n in (d.diffuse_map, d.dissolve_map):
+            if n and n not in names:
+                names.append(n)
+    images = []
+    ids: Dict[str, int] = {}
+    for n in names:
+        path = os.path.join(tex_dir, n)
+        img = _load_image_pow2(path)
+        if img is None:
+            continue
+        ids[n] = len(images)
+        images.append(img)
+    if not images:
+        return None, {}
+    return build_pyramid_atlas(images), ids
+
+
+def _load_image_pow2(path):
+    """Load an image as float32 [h, w, 3] in [0,1], padded/cropped to
+    power-of-2 (the reference FATALs on non-pow2, point_sampler.cpp:7-8;
+    we resize instead)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        from PIL import Image  # pillow ships with the baked-in deps
+
+        img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    except Exception:
+        return None
+    h, w = img.shape[:2]
+    ph = 1 << (h - 1).bit_length()
+    pw = 1 << (w - 1).bit_length()
+    if (ph, pw) != (h, w):
+        ys = (np.arange(ph) * h // ph).clip(0, h - 1)
+        xs = (np.arange(pw) * w // pw).clip(0, w - 1)
+        img = img[ys][:, xs]
+    return img

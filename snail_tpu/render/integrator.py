@@ -159,7 +159,11 @@ def render_wavefront(scene, orig, dirn, tmax, opts: RenderOpts,
     Returns color [R, 3]. This is RayTrace (scene_inl.h:169-496) minus the
     block bookkeeping.
     """
-    dist, tri, bary = ops_dispatch.closest_hit(scene, orig, dirn, tmax)
+    # Differentiable hit: traversal under stop_gradient + closed-form
+    # recompute (snail_tpu.diff) so the whole integrator is autodiffable.
+    from ..diff.vjp import diff_closest_hit
+
+    dist, tri, bary = diff_closest_hit(scene, orig, dirn, tmax)
 
     if not opts.shading:
         # gVals[4] distance view (scene_inl.h:204-212)

@@ -33,13 +33,15 @@ def render_frame(scene, camera: Camera, width: int, height: int,
     """Render a full frame; returns float32 [height, width, 3] linear color."""
     scale = 2 if opts.supersample else 1
     w, h = width * scale, height * scale
+    th = TILE_H if h % TILE_H == 0 else 1
+    tw = TILE_W if w % TILE_W == 0 else 1
     origin, dirs = primary_rays(camera, w, h)
-    d = tile_rays(dirs).reshape(-1, 3)
+    d = tile_rays(dirs, th, tw).reshape(-1, 3)
     o = jnp.broadcast_to(origin, d.shape)
     tmax = jnp.full(d.shape[:1], BIG, jnp.float32)
 
     color = render_wavefront(scene, o, d, tmax, opts)
-    img = untile_image(color.reshape(-1, TILE_H * TILE_W, 3), h, w)
+    img = untile_image(color.reshape(-1, th * tw, 3), h, w, th, tw)
     if opts.supersample:
         img = (
             img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2]

@@ -8,11 +8,15 @@ one machine, SURVEY.md §4.5). Pallas kernels run in interpreter mode on CPU
 
 import os
 
-# Force CPU regardless of the ambient JAX_PLATFORMS (the machine defaults to
-# the axon TPU tunnel; tests must not occupy the real chip). Set
+# Force CPU regardless of the ambient axon TPU tunnel (its sitecustomize
+# registers the plugin at interpreter start and overrides JAX_PLATFORMS, so
+# a config update after import is the only reliable off-switch). Set
 # SNAIL_TEST_TPU=1 to run the suite against hardware.
 if not os.environ.get("SNAIL_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 # (0 * inf = nan). The reference freely uses real infinities because its
 # control flow branches around them; in branchless jnp code a finite BIG
 # is safer for masked lanes.
-BIG = jnp.float32(3.4e37)
+# A Python float (not a jnp array) so kernels can close over it.
+BIG = 3.4e37
 
 
 def dot(a, b):

@@ -1,0 +1,13 @@
+from .mesh import (
+    make_mesh,
+    render_frame_sharded,
+    train_step_sharded,
+    shard_rays,
+)
+
+__all__ = [
+    "make_mesh",
+    "render_frame_sharded",
+    "train_step_sharded",
+    "shard_rays",
+]

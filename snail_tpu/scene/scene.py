@@ -66,6 +66,12 @@ class TracedScene:
     # Textures (atlas arrays; None => untextured scene)
     tex_atlas: Optional[jnp.ndarray] = None
     tex_meta: Optional[jnp.ndarray] = None
+    # Packed kernel layouts (snail_tpu.ops.traverse_pallas): SMEM node
+    # table i32[4N], dequant consts f32[8], HBM tris f32[Tpad, 16].
+    # None => scene exceeds the SMEM node cap; Pallas path unavailable.
+    pk_table: Optional[jnp.ndarray] = None
+    pk_aux: Optional[jnp.ndarray] = None
+    pk_tris: Optional[jnp.ndarray] = None
     # static meta
     num_tris: int = static_field(default=0)
     num_nodes: int = static_field(default=0)
@@ -91,7 +97,7 @@ def make_traced_scene(
     lights: Optional[Light] = None,
     textures=None,
     backend: str = "auto",
-    leaf_pad: int = 8,
+    leaf_pad: int = 64,  # must cover traverse_pallas.LEAF_PAD DMA over-read
 ) -> TracedScene:
     """Assemble device arrays from host-built pieces.
 
@@ -111,6 +117,14 @@ def make_traced_scene(
     tex_atlas = tex_meta = None
     if textures is not None:
         tex_atlas, tex_meta = textures
+
+    from ..ops.traverse_pallas import pack_scene_arrays
+
+    try:
+        pk_table, pk_aux, pk_tris = pack_scene_arrays(bvh, g)
+        pk_table, pk_aux, pk_tris = dev(pk_table), dev(pk_aux), dev(pk_tris)
+    except ValueError:
+        pk_table = pk_aux = pk_tris = None  # too big; jnp fallback
 
     return TracedScene(
         node_lo=dev(bvh.node_lo),
@@ -140,6 +154,9 @@ def make_traced_scene(
         lights=lights,
         tex_atlas=tex_atlas,
         tex_meta=tex_meta,
+        pk_table=pk_table,
+        pk_aux=pk_aux,
+        pk_tris=pk_tris,
         num_tris=geom.num_tris,
         num_nodes=bvh.num_nodes,
         leaf_max=leaf_max,
@@ -157,7 +174,8 @@ def load_scene(
     gen_normals: bool = True,
     lights: Optional[Light] = None,
     backend: str = "auto",
-    leaf_size: int = 8,
+    leaf_size: int = 64,  # fat leaves: SMEM node table stays small while
+    # the VPU brute-forces the staged leaf block (traverse_pallas design)
 ) -> TracedScene:
     """One-call scene load: the rtracer startup path
     (rtracer.cpp:518-587: load OBJ -> FlipNormals -> GenNormals ->

@@ -38,8 +38,10 @@ answer to the reference's "packet vs leaf" balance. Capacity: ~14k nodes ≈
 1-2 M triangles; bigger scenes need the (future) two-level scheme and fall
 back to the jnp path meanwhile.
 
-Triangle HBM layout: ``tris (Tpad, 16) f32`` rows = [a(3), ba(3), ca(3),
-nrm(3), pad(4)], padded so any leaf DMA of LEAF_PAD rows stays in bounds.
+Triangle HBM layout: ``tris (Tpad, 128) f32`` rows = [a(3), ba(3), ca(3),
+nrm(3), pad(116)] — a full 128-lane row per triangle (Mosaic DMA slices
+need a 128-multiple lane dim), padded so any leaf DMA of LEAF_PAD rows
+stays in bounds.
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ PACKET_R = 256  # rays per packet (the reference packet size)
 STACK_CAP = 96  # maxDepth(64) + slack (reference uses maxDepth+2)
 LEAF_PAD = 64  # leaf DMA granule (rows); builder leaf_size must be <= this
 NODE_WORDS = 4  # packed int32 words per node in SMEM
+TRI_ROW = 128  # floats per triangle row (lane-aligned for DMA slicing)
 SMEM_NODE_CAP = 14336  # ~224 KB of node table; probed safe is 256 KB
 
 
@@ -124,7 +127,10 @@ def pack_scene_arrays(bvh, geom_padded):
     aux[3:6] = cell
 
     t = len(geom_padded.a)
-    tris = np.zeros((t, 16), np.float32)
+    # One triangle per 128-float row: Mosaic requires DMA-sliced arrays to
+    # have a 128-multiple lane dimension, so the 16 used floats live in the
+    # first lanes of a full 128-lane row (bandwidth cost revisited later).
+    tris = np.zeros((t, TRI_ROW), np.float32)
     tris[:, 0:3] = geom_padded.a
     tris[:, 3:6] = geom_padded.ba
     tris[:, 6:9] = geom_padded.ca
@@ -283,7 +289,7 @@ def _closest_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
             return sp
 
         def inner_case(sp):
-            sign = signs_ref[axis]
+            sign = signs_ref[pl.program_id(0) * 4 + axis]
             near = child + (fnode ^ sign)
             far = child + (1 - (fnode ^ sign))
             _, _, _, _, flo, fhi = _unpack_node(tbl_ref, aux_ref, far)
@@ -375,7 +381,7 @@ def _shadow_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
             return jax.lax.cond(done, lambda s: 0, lambda s: s, sp)
 
         def inner_case(sp):
-            sign = signs_ref[axis]
+            sign = signs_ref[pl.program_id(0) * 4 + axis]
             near = child + (fnode ^ sign)
             far = child + (1 - (fnode ^ sign))
             _, _, _, _, flo, fhi = _unpack_node(tbl_ref, aux_ref, far)
@@ -427,9 +433,11 @@ def _pack_rays(orig, dirn, tmax, r=PACKET_R):
         axis=1,
     )
     # per-packet direction sign bits of ray 0 (reference takes ray 0's sign,
-    # traverse.cpp:21); padded to 4 for SMEM friendliness
+    # traverse.cpp:21). Flat (P*4,) i32: SMEM pads 2-D arrays to 128 lanes
+    # (4096-packet frame would eat 2 MB), 1-D arrays stay dense; the kernel
+    # indexes [program_id*4 + axis].
     signs = (rays[:, 3:6, 0] < 0.0).astype(jnp.int32)
-    signs = jnp.pad(signs, ((0, 0), (0, 1))).reshape(-1)  # flat (P*4,)
+    signs = jnp.pad(signs, ((0, 0), (0, 1))).reshape(-1)
     return rays, signs, n, p
 
 
@@ -438,7 +446,7 @@ _CLOSEST_SCRATCH = lambda r: [
     pltpu.VMEM((1, r), jnp.float32),  # bu
     pltpu.VMEM((1, r), jnp.float32),  # bv
     pltpu.VMEM((1, r), jnp.int32),  # tri
-    pltpu.VMEM((LEAF_PAD, 16), jnp.float32),  # staged leaf block
+    pltpu.VMEM((LEAF_PAD, TRI_ROW), jnp.float32),  # staged leaf block
     pltpu.SMEM((STACK_CAP,), jnp.int32),  # stack
     pltpu.SemaphoreType.DMA(()),
 ]
@@ -453,11 +461,10 @@ def _run_closest(table, aux, signs, rays, tris):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # node table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # aux dequant consts
-            pl.BlockSpec((4,), lambda i: (i,),
-                         memory_space=pltpu.SMEM),  # per-packet signs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # signs flat (P*4,)
             pl.BlockSpec((1, 8, r), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # tris in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # tris
         ],
         out_specs=[
             pl.BlockSpec((1, 4, r), lambda i: (i, 0, 0),
@@ -483,18 +490,17 @@ def _run_shadow(table, aux, signs, rays, tris):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((4,), lambda i: (i,),
-                         memory_space=pltpu.SMEM),  # per-packet signs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # signs flat (P*4,)
             pl.BlockSpec((1, 8, r), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, 1, r), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, r), jnp.float32),  # blocked
-            pltpu.VMEM((LEAF_PAD, 16), jnp.float32),
+            pltpu.VMEM((LEAF_PAD, TRI_ROW), jnp.float32),
             pltpu.SMEM((STACK_CAP,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -232,6 +232,8 @@ def _closest_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
     d = rays_ref[0, 3:6, :]
     tmax = rays_ref[0, 7:8, :]
     idir = 1.0 / (d + 1e-8)  # SafeInv (rtbase.h:117-120)
+    sign_base = pl.program_id(0) * 4  # hoisted: program_id inside lax.cond
+    # branches has no interpret-mode lowering
 
     active = tmax >= 0.0
     best_ref[:, :] = jnp.where(active, jnp.minimum(tmax, BIG), -BIG)
@@ -289,7 +291,7 @@ def _closest_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
             return sp
 
         def inner_case(sp):
-            sign = signs_ref[pl.program_id(0) * 4 + axis]
+            sign = signs_ref[sign_base + axis]
             near = child + (fnode ^ sign)
             far = child + (1 - (fnode ^ sign))
             _, _, _, _, flo, fhi = _unpack_node(tbl_ref, aux_ref, far)
@@ -333,6 +335,7 @@ def _shadow_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
     d = rays_ref[0, 3:6, :]
     tmax = rays_ref[0, 7:8, :]
     idir = 1.0 / (d + 1e-8)
+    sign_base = pl.program_id(0) * 4
 
     active = tmax >= 0.0
     blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
@@ -381,7 +384,7 @@ def _shadow_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
             return jax.lax.cond(done, lambda s: 0, lambda s: s, sp)
 
         def inner_case(sp):
-            sign = signs_ref[pl.program_id(0) * 4 + axis]
+            sign = signs_ref[sign_base + axis]
             near = child + (fnode ^ sign)
             far = child + (1 - (fnode ^ sign))
             _, _, _, _, flo, fhi = _unpack_node(tbl_ref, aux_ref, far)

@@ -15,7 +15,7 @@ from .traverse_ref import traverse_bvh_ref, traverse_bvh_shadow_ref
 
 
 def _use_pallas(scene) -> bool:
-    if scene.backend == "reference" or scene.pk_table is None:
+    if scene.backend == "reference" or scene.pk_meta is None:
         return False
     if scene.backend == "pallas":
         return True

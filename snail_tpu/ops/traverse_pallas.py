@@ -7,36 +7,44 @@ kernel design (src/spu/trace.cpp), mapped onto the TPU memory hierarchy:
   reference                         ->  here
   ------------------------------------------------------------------
   RayGroup 256-ray packet              one kernel grid instance owns a
-  (64 quads, QuadLevels=3)             PACKET_R-ray tile in VMEM
+  (64 quads, QuadLevels=3)             PACKET_R=1024-ray (32x32 px) tile:
+                                       each ray component is one (8, 128)
+                                       vreg, so every VPU op runs at 100%
+                                       lane utilization
+  RayGroup<sharedOrigin=1> template    camera-fused primary kernel: ray
+  specialization + RayGenerator        dirs are generated INSIDE the
+  (ray_group.h:74-110,                 kernel from SMEM camera scalars
+  ray_generator.cpp:23-50)             (zero HBM ray input); shadow kernel
+                                       takes the light as its shared
+                                       origin the same way
   per-packet traversal stack           int32 stack in SMEM scratch
   (StackElem[maxDepth+2])              (traverse.cpp:17)
-  32-byte BVH node (tree.h:60-72)      16-byte SMEM node: child/count/axis
-                                       packed in one word + bbox quantized
-                                       to u16 grid over the root box
-                                       (conservative floor/ceil rounding)
+  32-byte BVH node (tree.h:60-72)      32-byte SMEM node, split tables:
+                                       meta i32[2N] + f32 bbox[6N] (no
+                                       dequant work in the hot loop)
   per-node interval + per-ray slab     one vectorized slab test over all
   tests + [first,last] narrowing       packet rays (VPU lanes replace the
   (bounding_box.cpp:62-142)            narrowing loop); any() -> descend
-  near-child via firstNode ^           identical, with the sign bits
-  sign[axis] (traverse.cpp:71-74)      precomputed per packet in SMEM and
-                                       firstNode stolen from a low
-                                       quantization bit
+  near-child via firstNode ^           identical; per-packet sign bits of
+  sign[axis] (traverse.cpp:71-74)      ray 0 in SMEM
   SPU DMA triangle cache               leaf triangle blocks DMA'd
   (spu/base.h:85-135)                  HBM->VMEM per leaf visit
-  MultiCollide 4-triangle unroll       4 triangles packed across VPU
-  (spu/triangle.h:23-38)               sublanes: one (4, R) intersection
-                                       evaluates 4 tris x R rays
+  MultiCollide 4-triangle unroll       4 triangles on a leading axis:
+  (spu/triangle.h:23-38)               one (4, 8, 128) intersection
+                                       evaluates 4 tris x 1024 rays
   shadow early full-occlusion exit     jnp.all(blocked) clears the stack
   (traverse.cpp:117-121)
 
-Why SMEM: Mosaic has no dynamic scalar loads from VMEM, and traversal is
-scalar control flow — so the tree must live where the scalar core can
-randomly index it. SMEM is ~0.25 MB usable, hence the 16-byte quantized
-node and fat leaves (``LEAF_PAD`` tris, default 64) that push geometry bytes
-into HBM-streamed leaf blocks where the VPU brute-forces them — the TPU
-answer to the reference's "packet vs leaf" balance. Capacity: ~14k nodes ≈
-1-2 M triangles; bigger scenes need the (future) two-level scheme and fall
-back to the jnp path meanwhile.
+Why SMEM for the tree: Mosaic has no dynamic scalar loads from VMEM, and
+traversal is scalar control flow — the tree must live where the scalar
+core can randomly index it. Fat leaves (``LEAF_PAD`` tris) keep the node
+table small and push geometry bytes into HBM-streamed leaf blocks where
+the VPU brute-forces them. Capacity ~14k nodes; bigger scenes fall back
+to the jnp path until the two-level scheme lands.
+
+All wavefront IO is component-planar ``(P, 8, 128)`` float32 — AoS (R, 3)
+arrays would force lane-crossing transposes that cost more than the
+traversal itself (measured 13 ms per 1M rays).
 
 Triangle HBM layout: ``tris (Tpad, 128) f32`` rows = [a(3), ba(3), ca(3),
 nrm(3), pad(116)] — a full 128-lane row per triangle (Mosaic DMA slices
@@ -46,8 +54,7 @@ stays in bounds.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -57,12 +64,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.vecmath import BIG
 
-PACKET_R = 256  # rays per packet (the reference packet size)
+RAY_SUB = 8  # packet sublane dim
+RAY_LANE = 128  # packet lane dim
+PACKET_R = RAY_SUB * RAY_LANE  # 1024 rays per packet
+TILE = 32  # camera kernel renders 32x32-pixel packets
 STACK_CAP = 96  # maxDepth(64) + slack (reference uses maxDepth+2)
 LEAF_PAD = 64  # leaf DMA granule (rows); builder leaf_size must be <= this
-NODE_WORDS = 4  # packed int32 words per node in SMEM
 TRI_ROW = 128  # floats per triangle row (lane-aligned for DMA slicing)
-SMEM_NODE_CAP = 14336  # ~224 KB of node table; probed safe is 256 KB
+SMEM_NODE_CAP = 14336  # 32 B/node -> ~448 KB of the ~1 MB SMEM
 
 
 def _interpret() -> bool:
@@ -77,14 +86,12 @@ def _interpret() -> bool:
 def pack_scene_arrays(bvh, geom_padded):
     """Pack BVH + triangles into kernel layouts.
 
-    Returns (table i32[4*N], aux f32[8], tris f32[Tpad, 16]).
+    Returns (meta i32[2N], box f32[6N], tris f32[Tpad, 128]).
 
-    Node word layout (word 0):  [31] unused, [30:9] child/first (22 bits),
-    [8:2] count (7 bits, 0 for inner), [1:0] split axis.
-    Words 1-3: bbox lo/hi quantized to u16 over the root box, packed two
-    per word: w1 = qlox | qloy<<16, w2 = qloz | qhix<<16, w3 = qhiy|qhiz<<16.
-    The near-child bit (reference Node::firstNode) is stolen from the low
-    bit of qlox (conservative: floor rounding only loosens the box).
+    meta[2n]   = child<<9 | count<<2 | axis  (leaf: count>0, child=first tri)
+    meta[2n+1] = firstNode bit (reference Node::firstNode, tree.h:60-72)
+    box[6n:6n+6] = lo.xyz, hi.xyz as raw f32 — no quantization; SMEM is
+    large enough (~1 MB) and the dequant ALU was hot-loop scalar work.
     """
     n = len(bvh.child)
     if n > SMEM_NODE_CAP:
@@ -98,33 +105,19 @@ def pack_scene_arrays(bvh, geom_padded):
         )
     assert (bvh.child < (1 << 22)).all(), "scene too large for 22-bit ids"
 
-    root_lo = bvh.node_lo[0].astype(np.float64)
-    root_hi = bvh.node_hi[0].astype(np.float64)
-    ext = np.maximum(root_hi - root_lo, 1e-20)
-    inv_cell = 65535.0 / ext
-    cell = ext / 65535.0
-
-    qlo = np.floor((bvh.node_lo - root_lo) * inv_cell).astype(np.int64)
-    qhi = np.ceil((bvh.node_hi - root_lo) * inv_cell).astype(np.int64)
-    qlo = np.clip(qlo, 0, 65535).astype(np.uint32)
-    qhi = np.clip(qhi, 0, 65535).astype(np.uint32)
-    # steal qlox bit 0 for firstNode (clearing it only loosens lo bound)
-    qlo[:, 0] = (qlo[:, 0] & 0xFFFE) | (bvh.first_node.astype(np.uint32) & 1)
-
     w0 = (
         (bvh.child.astype(np.uint32) << 9)
         | ((bvh.count.astype(np.uint32) & 0x7F) << 2)
         | (bvh.axis.astype(np.uint32) & 0x3)
     )
-    w1 = qlo[:, 0] | (qlo[:, 1] << 16)
-    w2 = qlo[:, 2] | (qhi[:, 0] << 16)
-    w3 = qhi[:, 1] | (qhi[:, 2] << 16)
-    table = np.stack([w0, w1, w2, w3], axis=1).astype(np.uint32)
-    table = table.reshape(-1).view(np.int32)
+    w1 = bvh.first_node.astype(np.uint32) & 1
+    meta = np.stack([w0, w1], axis=1).astype(np.uint32)
+    meta = meta.reshape(-1).view(np.int32)
 
-    aux = np.zeros(8, np.float32)
-    aux[0:3] = root_lo
-    aux[3:6] = cell
+    box = np.concatenate(
+        [bvh.node_lo.astype(np.float32), bvh.node_hi.astype(np.float32)],
+        axis=1,
+    ).reshape(-1)
 
     t = len(geom_padded.a)
     # One triangle per 128-float row: Mosaic requires DMA-sliced arrays to
@@ -135,7 +128,7 @@ def pack_scene_arrays(bvh, geom_padded):
     tris[:, 3:6] = geom_padded.ba
     tris[:, 6:9] = geom_padded.ca
     tris[:, 9:12] = np.cross(geom_padded.ba, geom_padded.ca)
-    return table, aux, tris
+    return meta, box, tris
 
 
 # ---------------------------------------------------------------------------
@@ -143,41 +136,35 @@ def pack_scene_arrays(bvh, geom_padded):
 # ---------------------------------------------------------------------------
 
 
-def _unpack_node(tbl_ref, aux_ref, node):
-    """Scalar unpack of one node -> (child, count, axis, fnode, lo3, hi3)."""
-    base = node * NODE_WORDS
-    w0 = tbl_ref[base]
-    w1 = tbl_ref[base + 1]
-    w2 = tbl_ref[base + 2]
-    w3 = tbl_ref[base + 3]
+def _meta(tbl_ref, node):
+    """Scalar meta unpack: (child, count, axis, fnode)."""
+    w0 = tbl_ref[node * 2]
+    fnode = tbl_ref[node * 2 + 1]
     child = jax.lax.shift_right_logical(w0, 9)
     count = jax.lax.shift_right_logical(w0, 2) & 0x7F
     axis = w0 & 0x3
-    fnode = w1 & 0x1
-
-    def dq(q, k):
-        return aux_ref[k] + q.astype(jnp.float32) * aux_ref[3 + k]
-
-    lox = dq((w1 & 0xFFFE), 0)
-    loy = dq(jax.lax.shift_right_logical(w1, 16) & 0xFFFF, 1)
-    loz = dq(w2 & 0xFFFF, 2)
-    hix = dq(jax.lax.shift_right_logical(w2, 16) & 0xFFFF, 0)
-    hiy = dq(w3 & 0xFFFF, 1)
-    hiz = dq(jax.lax.shift_right_logical(w3, 16) & 0xFFFF, 2)
-    return child, count, axis, fnode, (lox, loy, loz), (hix, hiy, hiz)
+    return child, count, axis, fnode
 
 
-def _slab_any(o, idir, lo, hi, best):
-    """Vectorized slab test of one box vs the whole packet -> scalar any.
+def _box(box_ref, node):
+    b = node * 6
+    return (
+        (box_ref[b], box_ref[b + 1], box_ref[b + 2]),
+        (box_ref[b + 3], box_ref[b + 4], box_ref[b + 5]),
+    )
 
-    The per-ray version of BBox::Test (bounding_box.cpp:62-142) with the
+
+def _slab_mask(o, idir, lo, hi, best):
+    """Slab test of one box vs the whole (8, 128) packet -> (8, 128) bool.
+
+    The vectorized BBox::Test (bounding_box.cpp:62-142) with the
     current-distance cull; VPU lanes replace the [first,last] narrowing."""
-    t10 = (lo[0] - o[0:1]) * idir[0:1]
-    t20 = (hi[0] - o[0:1]) * idir[0:1]
-    t11 = (lo[1] - o[1:2]) * idir[1:2]
-    t21 = (hi[1] - o[1:2]) * idir[1:2]
-    t12 = (lo[2] - o[2:3]) * idir[2:3]
-    t22 = (hi[2] - o[2:3]) * idir[2:3]
+    t10 = (lo[0] - o[0]) * idir[0]
+    t20 = (hi[0] - o[0]) * idir[0]
+    t11 = (lo[1] - o[1]) * idir[1]
+    t21 = (hi[1] - o[1]) * idir[1]
+    t12 = (lo[2] - o[2]) * idir[2]
+    t22 = (hi[2] - o[2]) * idir[2]
     tn = jnp.maximum(
         jnp.maximum(jnp.minimum(t10, t20), jnp.minimum(t11, t21)),
         jnp.minimum(t12, t22),
@@ -186,21 +173,30 @@ def _slab_any(o, idir, lo, hi, best):
         jnp.minimum(jnp.maximum(t10, t20), jnp.maximum(t11, t21)),
         jnp.maximum(t12, t22),
     )
-    return jnp.any((tn <= tf) & (tf > 0.0) & (tn < best))
+    return (tn <= tf) & (tf > 0.0) & (tn < best)
+
+
+def _slab_any(o, idir, lo, hi, best):
+    return jnp.any(_slab_mask(o, idir, lo, hi, best))
 
 
 def _tri_cols(ts, r0):
-    """Static (4,1) component slices of the staged leaf block."""
-    return [ts[r0 : r0 + 4, j : j + 1] for j in range(12)]
+    """Static (4, 1, 1) component slices of the staged leaf block."""
+    return [ts[r0 : r0 + 4, j : j + 1][..., None] for j in range(12)]
 
 
 def _intersect4(o, d, cols):
-    """4 triangles x R rays, (4, R) vectorized (MultiCollide analogue).
+    """4 triangles x 1024 rays, (4, 8, 128) vectorized (MultiCollide
+    analogue, spu/triangle.h:23-38).
 
     Returns (det, u, v, tmul) raw values (caller applies side rules)."""
+    def _b(c):  # (8,128) ray planes broadcast against the (4,1,1) tris;
+        # scalar components (shared origin) broadcast as-is
+        return c[None] if getattr(c, "ndim", 0) == 2 else c
+
     ax, ay, az, bax, bay, baz, cax, cay, caz, nx, ny, nz = cols
-    ox, oy, oz = o[0:1], o[1:2], o[2:3]
-    dx, dy, dz = d[0:1], d[1:2], d[2:3]
+    ox, oy, oz = _b(o[0]), _b(o[1]), _b(o[2])
+    dx, dy, dz = _b(d[0]), _b(d[1]), _b(d[2])
     tvx = ox - ax
     tvy = oy - ay
     tvz = oz - az
@@ -219,29 +215,52 @@ def _intersect4(o, d, cols):
     return det, u, v, tmul
 
 
-# ---------------------------------------------------------------------------
-# Closest-hit kernel
-# ---------------------------------------------------------------------------
+def _traverse(tbl_ref, box_ref, signs_ref, o, idir, limit_fn, leaf_fn,
+              stack_ref):
+    """Shared stack-traversal loop (the TraversePrimaryN/TraverseShadow
+    skeleton, bvh/traverse.cpp:14-149).
+
+    ``limit_fn()`` -> (8,128) per-ray distance bound for box culls;
+    ``leaf_fn(first, count, sp)`` -> new sp (may clear the stack)."""
+    sign_base = pl.program_id(0) * 4
+
+    def body(sp):
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        child, count, axis, fnode = _meta(tbl_ref, node)
+
+        def leaf_case(sp):
+            return leaf_fn(child, count, sp)
+
+        def inner_case(sp):
+            sign = signs_ref[sign_base + axis]
+            near = child + (fnode ^ sign)
+            far = child + (1 - (fnode ^ sign))
+            flo, fhi = _box(box_ref, far)
+            nlo, nhi = _box(box_ref, near)
+            lim = limit_fn()
+            hit_far = _slab_any(o, idir, flo, fhi, lim)
+            hit_near = _slab_any(o, idir, nlo, nhi, lim)
+            stack_ref[sp] = far
+            sp = sp + hit_far.astype(jnp.int32)
+            stack_ref[sp] = near
+            sp = sp + hit_near.astype(jnp.int32)
+            return sp
+
+        return jax.lax.cond(count > 0, leaf_case, inner_case, sp)
+
+    rlo, rhi = _box(box_ref, 0)
+    root_ok = _slab_any(o, idir, rlo, rhi, limit_fn())
+    stack_ref[0] = 0
+    sp0 = jax.lax.cond(root_ok, lambda: 1, lambda: 0)
+    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
 
 
-def _closest_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
-                    outf_ref, outi_ref,
-                    best_ref, bu_ref, bv_ref, tri_ref,
-                    tscratch, stack_ref, sem):
-    o = rays_ref[0, 0:3, :]
-    d = rays_ref[0, 3:6, :]
-    tmax = rays_ref[0, 7:8, :]
-    idir = 1.0 / (d + 1e-8)  # SafeInv (rtbase.h:117-120)
-    sign_base = pl.program_id(0) * 4  # hoisted: program_id inside lax.cond
-    # branches has no interpret-mode lowering
+def _closest_leaf(o, d, tris_hbm, tscratch, sem,
+                  best_ref, bu_ref, bv_ref, tri_ref):
+    """Closest-hit leaf processing closure."""
 
-    active = tmax >= 0.0
-    best_ref[:, :] = jnp.where(active, jnp.minimum(tmax, BIG), -BIG)
-    bu_ref[:, :] = jnp.zeros_like(tmax)
-    bv_ref[:, :] = jnp.zeros_like(tmax)
-    tri_ref[:, :] = jnp.zeros(tmax.shape, jnp.int32)
-
-    def process_leaf(first, count):
+    def leaf_fn(first, count, sp):
         cp = pltpu.make_async_copy(
             tris_hbm.at[pl.ds(first, LEAF_PAD), :], tscratch, sem
         )
@@ -259,89 +278,138 @@ def _closest_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
                 )
                 idet = 1.0 / jnp.where(det == 0.0, 1e-30, det)
                 dist = tmul * idet
-                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
                 ok = side & (det != 0.0) & (dist > 0.0) & ((r0 + row) < count)
                 dist = jnp.where(ok, dist, BIG)
-                m = jnp.min(dist, axis=0, keepdims=True)  # (1, R)
+                m = jnp.min(dist, axis=0)  # (8, 128)
                 upd = m < best_ref[:, :]
-                is_min = (dist == m) & ok
+                is_min = (dist == m[None]) & ok
                 ids = first + r0 + row
                 tid = jnp.min(
-                    jnp.where(is_min, ids, jnp.int32(2**30)),
-                    axis=0, keepdims=True,
+                    jnp.where(is_min, ids, jnp.int32(2**30)), axis=0
                 )
-                sel_u = jnp.max(jnp.where(is_min, u * idet, -BIG),
-                                axis=0, keepdims=True)
-                sel_v = jnp.max(jnp.where(is_min, v * idet, -BIG),
-                                axis=0, keepdims=True)
+                sel_u = jnp.max(jnp.where(is_min, u * idet, -BIG), axis=0)
+                sel_v = jnp.max(jnp.where(is_min, v * idet, -BIG), axis=0)
                 best_ref[:, :] = jnp.where(upd, m, best_ref[:, :])
                 tri_ref[:, :] = jnp.where(upd, tid, tri_ref[:, :])
                 bu_ref[:, :] = jnp.where(upd, sel_u, bu_ref[:, :])
                 bv_ref[:, :] = jnp.where(upd, sel_v, bv_ref[:, :])
 
-    def body(sp):
-        node = stack_ref[sp - 1]
-        sp = sp - 1
-        child, count, axis, fnode, lo, hi = _unpack_node(
-            tbl_ref, aux_ref, node
-        )
+        return sp
 
-        def leaf_case(sp):
-            process_leaf(child, count)
-            return sp
-
-        def inner_case(sp):
-            sign = signs_ref[sign_base + axis]
-            near = child + (fnode ^ sign)
-            far = child + (1 - (fnode ^ sign))
-            _, _, _, _, flo, fhi = _unpack_node(tbl_ref, aux_ref, far)
-            _, _, _, _, nlo, nhi = _unpack_node(tbl_ref, aux_ref, near)
-            hit_far = _slab_any(o, idir, flo, fhi, best_ref[:, :])
-            hit_near = _slab_any(o, idir, nlo, nhi, best_ref[:, :])
-
-            def push(sp, n):
-                stack_ref[sp] = n
-                return sp + 1
-
-            sp = jax.lax.cond(hit_far, lambda s: push(s, far),
-                              lambda s: s, sp)
-            sp = jax.lax.cond(hit_near, lambda s: push(s, near),
-                              lambda s: s, sp)
-            return sp
-
-        return jax.lax.cond(count > 0, leaf_case, inner_case, sp)
-
-    _, _, _, _, rlo, rhi = _unpack_node(tbl_ref, aux_ref, 0)
-    root_ok = _slab_any(o, idir, rlo, rhi, best_ref[:, :])
-    stack_ref[0] = 0
-    sp0 = jax.lax.cond(root_ok, lambda: 1, lambda: 0)
-    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
-
-    outf_ref[0, 0:1, :] = best_ref[:, :]
-    outf_ref[0, 1:2, :] = bu_ref[:, :]
-    outf_ref[0, 2:3, :] = bv_ref[:, :]
-    outf_ref[0, 3:4, :] = tmax
-    outi_ref[0, :, :] = tri_ref[:, :]
+    return leaf_fn
 
 
 # ---------------------------------------------------------------------------
-# Shadow (any-hit) kernel
+# Camera-fused primary kernel (shared origin, raygen inside)
 # ---------------------------------------------------------------------------
 
 
-def _shadow_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
-                   out_ref, blocked_ref, tscratch, stack_ref, sem):
-    o = rays_ref[0, 0:3, :]
-    d = rays_ref[0, 3:6, :]
-    tmax = rays_ref[0, 7:8, :]
-    idir = 1.0 / (d + 1e-8)
-    sign_base = pl.program_id(0) * 4
+def _camera_kernel(tbl_ref, box_ref, cam_ref, signs_ref, tris_hbm,
+                   dist_ref, u_ref, v_ref, tri_out, dx_ref, dy_ref, dz_ref,
+                   best_ref, bu_ref, bv_ref, tri_ref, tscratch, stack_ref,
+                   sem):
+    """Primary rays: dirs generated from SMEM camera scalars
+    (RayGenerator fused, ray_generator.cpp:23-50; shared origin
+    RayGroup<1,0>, ray_group.h:74-110).
+
+    cam layout (f32[16]): right(0:3), up(3:6), front*plane_dist(6:9),
+    pos(9:12), half_w(12), half_h(13), inv_h(14), tiles_x(15)."""
+    pid = pl.program_id(0)
+    tiles_x = cam_ref[15].astype(jnp.int32)
+    tx = pid % tiles_x
+    ty = pid // tiles_x
+
+    k = (
+        jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 0) * RAY_LANE
+        + jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 1)
+    )
+    px = (tx * TILE + k % TILE).astype(jnp.float32)
+    py = (ty * TILE + k // TILE).astype(jnp.float32)
+    x = (px + 0.5 - cam_ref[12]) * cam_ref[14]
+    y = (cam_ref[13] - py - 0.5) * cam_ref[14]
+
+    dx = cam_ref[0] * x + cam_ref[3] * y + cam_ref[6]
+    dy = cam_ref[1] * x + cam_ref[4] * y + cam_ref[7]
+    dz = cam_ref[2] * x + cam_ref[5] * y + cam_ref[8]
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx = dx * inv_len
+    dy = dy * inv_len
+    dz = dz * inv_len
+
+    o = (cam_ref[9], cam_ref[10], cam_ref[11])
+    d = (dx, dy, dz)
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+
+    best_ref[:, :] = jnp.full((RAY_SUB, RAY_LANE), BIG, jnp.float32)
+    bu_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
+    bv_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
+    tri_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.int32)
+
+    leaf_fn = _closest_leaf(o, d, tris_hbm, tscratch, sem,
+                            best_ref, bu_ref, bv_ref, tri_ref)
+    _traverse(tbl_ref, box_ref, signs_ref, o, idir,
+              lambda: best_ref[:, :], leaf_fn, stack_ref)
+
+    dist_ref[0] = best_ref[:, :]
+    u_ref[0] = bu_ref[:, :]
+    v_ref[0] = bv_ref[:, :]
+    tri_out[0] = tri_ref[:, :]
+    dx_ref[0] = dx
+    dy_ref[0] = dy
+    dz_ref[0] = dz
+
+
+# ---------------------------------------------------------------------------
+# General closest-hit kernel (component-planar ray arrays)
+# ---------------------------------------------------------------------------
+
+
+def _closest_kernel(tbl_ref, box_ref, signs_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                    tris_hbm,
+                    dist_ref, u_ref, v_ref, tri_out,
+                    best_ref, bu_ref, bv_ref, tri_ref, tscratch, stack_ref,
+                    sem):
+    o = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)  # SafeInv (rtbase.h:117-120)
+
+    active = tmax >= 0.0
+    best_ref[:, :] = jnp.where(active, jnp.minimum(tmax, BIG), -BIG)
+    bu_ref[:, :] = jnp.zeros_like(tmax)
+    bv_ref[:, :] = jnp.zeros_like(tmax)
+    tri_ref[:, :] = jnp.zeros(tmax.shape, jnp.int32)
+
+    leaf_fn = _closest_leaf(o, d, tris_hbm, tscratch, sem,
+                            best_ref, bu_ref, bv_ref, tri_ref)
+    _traverse(tbl_ref, box_ref, signs_ref, o, idir,
+              lambda: best_ref[:, :], leaf_fn, stack_ref)
+
+    dist_ref[0] = best_ref[:, :]
+    u_ref[0] = bu_ref[:, :]
+    v_ref[0] = bv_ref[:, :]
+    tri_out[0] = tri_ref[:, :]
+
+
+# ---------------------------------------------------------------------------
+# Shadow (any-hit) kernel — shared origin (the light), per-ray dir + tmax
+# ---------------------------------------------------------------------------
+
+
+def _shadow_body(tbl_ref, box_ref, signs_ref, o, d, tmax, tris_hbm,
+                 out_ref, blocked_ref, tscratch, stack_ref, sem):
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
 
     active = tmax >= 0.0
     blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
     limit = jnp.where(active, tmax, -BIG)
 
-    def process_leaf(first, count):
+    def open_limit():
+        return jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit)
+
+    def leaf_fn(first, count, sp):
         cp = pltpu.make_async_copy(
             tris_hbm.at[pl.ds(first, LEAF_PAD), :], tscratch, sem
         )
@@ -353,65 +421,47 @@ def _shadow_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
             @pl.when(r0 < count)
             def _():
                 det, u, v, tmul = _intersect4(o, d, _tri_cols(tscratch, r0))
-                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
                 # single-sided shadow rule (triangle.cpp:95-96)
                 occ = (
                     (jnp.minimum(u, v) >= 0.0)
                     & (u + v <= det)
                     & (tmul > 0.0)
-                    & (tmul < tmax * det)
+                    & (tmul < tmax[None] * det)
                     & ((r0 + row) < count)
                 )
-                occ_any = jnp.max(
-                    jnp.where(occ, 1.0, 0.0), axis=0, keepdims=True
-                )
+                occ_any = jnp.max(jnp.where(occ, 1.0, 0.0), axis=0)
                 blocked_ref[:, :] = jnp.maximum(blocked_ref[:, :], occ_any)
 
-    def open_limit():
-        return jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit)
+        # full-occlusion early exit (traverse.cpp:117-121)
+        done = jnp.all((blocked_ref[:, :] > 0.0) | (limit < 0.0))
+        return jax.lax.cond(done, lambda s: 0, lambda s: s, sp)
 
-    def body(sp):
-        node = stack_ref[sp - 1]
-        sp = sp - 1
-        child, count, axis, fnode, lo, hi = _unpack_node(
-            tbl_ref, aux_ref, node
-        )
+    _traverse(tbl_ref, box_ref, signs_ref, o, idir, open_limit, leaf_fn,
+              stack_ref)
+    out_ref[0] = blocked_ref[:, :]
 
-        def leaf_case(sp):
-            process_leaf(child, count)
-            # full-occlusion early exit (traverse.cpp:117-121)
-            done = jnp.all((blocked_ref[:, :] > 0.0) | (limit < 0.0))
-            return jax.lax.cond(done, lambda s: 0, lambda s: s, sp)
 
-        def inner_case(sp):
-            sign = signs_ref[sign_base + axis]
-            near = child + (fnode ^ sign)
-            far = child + (1 - (fnode ^ sign))
-            _, _, _, _, flo, fhi = _unpack_node(tbl_ref, aux_ref, far)
-            _, _, _, _, nlo, nhi = _unpack_node(tbl_ref, aux_ref, near)
-            lim = open_limit()
-            hit_far = _slab_any(o, idir, flo, fhi, lim)
-            hit_near = _slab_any(o, idir, nlo, nhi, lim)
+def _shadow_kernel(tbl_ref, box_ref, orig_ref, signs_ref,
+                   dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                   out_ref, blocked_ref, tscratch, stack_ref, sem):
+    """Shadow rays FROM the shared light origin (scene_inl.h:127-129);
+    orig_ref f32[4] = light position."""
+    o = (orig_ref[0], orig_ref[1], orig_ref[2])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    _shadow_body(tbl_ref, box_ref, signs_ref, o, d, tm_ref[0], tris_hbm,
+                 out_ref, blocked_ref, tscratch, stack_ref, sem)
 
-            def push(sp, n):
-                stack_ref[sp] = n
-                return sp + 1
 
-            sp = jax.lax.cond(hit_far, lambda s: push(s, far),
-                              lambda s: s, sp)
-            sp = jax.lax.cond(hit_near, lambda s: push(s, near),
-                              lambda s: s, sp)
-            return sp
-
-        return jax.lax.cond(count > 0, leaf_case, inner_case, sp)
-
-    _, _, _, _, rlo, rhi = _unpack_node(tbl_ref, aux_ref, 0)
-    root_ok = _slab_any(o, idir, rlo, rhi, limit)
-    stack_ref[0] = 0
-    sp0 = jax.lax.cond(root_ok, lambda: 1, lambda: 0)
-    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
-
-    out_ref[0, :, :] = blocked_ref[:, :]
+def _shadow_kernel_g(tbl_ref, box_ref, signs_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                     tris_hbm,
+                     out_ref, blocked_ref, tscratch, stack_ref, sem):
+    """Any-hit with per-ray origins (general wavefront occlusion)."""
+    o = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    _shadow_body(tbl_ref, box_ref, signs_ref, o, d, tm_ref[0], tris_hbm,
+                 out_ref, blocked_ref, tscratch, stack_ref, sem)
 
 
 # ---------------------------------------------------------------------------
@@ -419,109 +469,216 @@ def _shadow_kernel(tbl_ref, aux_ref, signs_ref, rays_ref, tris_hbm,
 # ---------------------------------------------------------------------------
 
 
-def _pack_rays(orig, dirn, tmax, r=PACKET_R):
-    n = orig.shape[0]
-    p = -(-n // r)
-    pad = p * r - n
-    o = jnp.pad(orig, ((0, pad), (0, 0)))
-    d = jnp.pad(dirn, ((0, pad), (0, 0)), constant_values=1.0)
-    t = jnp.pad(tmax, (0, pad), constant_values=-BIG)
-    rays = jnp.concatenate(
-        [
-            o.reshape(p, r, 3).transpose(0, 2, 1),
-            d.reshape(p, r, 3).transpose(0, 2, 1),
-            jnp.zeros((p, 1, r), o.dtype),
-            t.reshape(p, 1, r),
-        ],
-        axis=1,
+def _pk(x):
+    """(R,) flat, R % PACKET_R == 0 -> (P, 8, 128)."""
+    return x.reshape(-1, RAY_SUB, RAY_LANE)
+
+
+def _blk():
+    return pl.BlockSpec((1, RAY_SUB, RAY_LANE), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _smem():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _scratches():
+    return [
+        pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32),  # best
+        pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32),  # bu
+        pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32),  # bv
+        pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32),  # tri
+        pltpu.VMEM((LEAF_PAD, TRI_ROW), jnp.float32),  # staged leaf
+        pltpu.SMEM((STACK_CAP,), jnp.int32),  # stack
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+
+def _signs_of(dx0, dy0, dz0):
+    """Per-packet near/far ordering bits from ray 0 of each packet
+    (reference traverse.cpp:21), flat (P*4,) i32 for dense SMEM."""
+    signs = jnp.stack(
+        [dx0 < 0, dy0 < 0, dz0 < 0, jnp.zeros_like(dx0, bool)], axis=1
     )
-    # per-packet direction sign bits of ray 0 (reference takes ray 0's sign,
-    # traverse.cpp:21). Flat (P*4,) i32: SMEM pads 2-D arrays to 128 lanes
-    # (4096-packet frame would eat 2 MB), 1-D arrays stay dense; the kernel
-    # indexes [program_id*4 + axis].
-    signs = (rays[:, 3:6, 0] < 0.0).astype(jnp.int32)
-    signs = jnp.pad(signs, ((0, 0), (0, 1))).reshape(-1)
-    return rays, signs, n, p
+    return signs.astype(jnp.int32).reshape(-1)
 
 
-_CLOSEST_SCRATCH = lambda r: [
-    pltpu.VMEM((1, r), jnp.float32),  # best
-    pltpu.VMEM((1, r), jnp.float32),  # bu
-    pltpu.VMEM((1, r), jnp.float32),  # bv
-    pltpu.VMEM((1, r), jnp.int32),  # tri
-    pltpu.VMEM((LEAF_PAD, TRI_ROW), jnp.float32),  # staged leaf block
-    pltpu.SMEM((STACK_CAP,), jnp.int32),  # stack
-    pltpu.SemaphoreType.DMA(()),
-]
+@partial(jax.jit, static_argnames=("p",))
+def _run_camera(meta, box, cam, signs, tris, p):
+    outs = pl.pallas_call(
+        _camera_kernel,
+        grid=(p,),
+        in_specs=[_smem(), _smem(), _smem(), _smem(),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 7,
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+        ),
+        scratch_shapes=_scratches(),
+        interpret=_interpret(),
+    )(meta, box, cam, signs, tris)
+    return outs
+
+
+def camera_trace(scene, camera, width: int, height: int):
+    """Fused raygen + closest hit for a full frame of primary rays.
+
+    Returns flat (R,) arrays: dist, u, v, tri, dx, dy, dz in 32x32-tile
+    packet order (use :func:`packet_order_to_image`). Requires
+    width % 32 == height % 32 == 0.
+    """
+    assert width % TILE == 0 and height % TILE == 0, (width, height)
+    tiles_x = width // TILE
+    p = tiles_x * (height // TILE)
+
+    cam = jnp.concatenate([
+        camera.right,
+        camera.up,
+        camera.front * camera.plane_dist,
+        camera.pos,
+        jnp.stack([
+            jnp.float32(width * 0.5),
+            jnp.float32(height * 0.5),
+            jnp.float32(1.0 / height),
+            jnp.float32(tiles_x),
+        ]),
+    ]).astype(jnp.float32)
+
+    # ray 0 of packet (tx, ty) is pixel (tx*32, ty*32)
+    txs = jnp.arange(p, dtype=jnp.int32) % tiles_x
+    tys = jnp.arange(p, dtype=jnp.int32) // tiles_x
+    x0 = (txs.astype(jnp.float32) * TILE + 0.5 - width * 0.5) / height
+    y0 = (height * 0.5 - tys.astype(jnp.float32) * TILE - 0.5) / height
+    d0 = (
+        camera.right[None] * x0[:, None]
+        + camera.up[None] * y0[:, None]
+        + (camera.front * camera.plane_dist)[None]
+    )
+    signs = _signs_of(d0[:, 0], d0[:, 1], d0[:, 2])
+
+    dist, u, v, tri, dx, dy, dz = _run_camera(
+        scene.pk_meta, scene.pk_box, cam, signs, scene.pk_tris, p
+    )
+    f = lambda a: a.reshape(-1)
+    return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
 
 
 @jax.jit
-def _run_closest(table, aux, signs, rays, tris):
-    p, _, r = rays.shape
+def _run_closest(meta, box, signs, ox, oy, oz, dx, dy, dz, tm, tris):
+    p = ox.shape[0]
     return pl.pallas_call(
         _closest_kernel,
         grid=(p,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # node table
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # aux dequant consts
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # signs flat (P*4,)
-            pl.BlockSpec((1, 8, r), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # tris
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 4, r), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[_smem(), _smem(), _smem()] + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 4,
         out_shape=[
-            jax.ShapeDtypeStruct((p, 4, r), jnp.float32),
-            jax.ShapeDtypeStruct((p, 1, r), jnp.int32),
+            jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32),
         ],
-        scratch_shapes=_CLOSEST_SCRATCH(r),
+        scratch_shapes=_scratches(),
         interpret=_interpret(),
-    )(table, aux, signs, rays, tris)
+    )(meta, box, signs, ox, oy, oz, dx, dy, dz, tm, tris)
 
 
 @jax.jit
-def _run_shadow(table, aux, signs, rays, tris):
-    p, _, r = rays.shape
+def _run_shadow(meta, box, orig, signs, dx, dy, dz, tm, tris):
+    p = dx.shape[0]
     return pl.pallas_call(
         _shadow_kernel,
         grid=(p,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # signs flat (P*4,)
-            pl.BlockSpec((1, 8, r), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, r), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, 1, r), jnp.float32),
+        in_specs=[_smem(), _smem(), _smem(), _smem()] + [_blk()] * 4
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, r), jnp.float32),  # blocked
+            pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32),  # blocked
             pltpu.VMEM((LEAF_PAD, TRI_ROW), jnp.float32),
             pltpu.SMEM((STACK_CAP,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_interpret(),
-    )(table, aux, signs, rays, tris)
+    )(meta, box, orig, signs, dx, dy, dz, tm, tris)
+
+
+@jax.jit
+def _run_shadow_g(meta, box, signs, ox, oy, oz, dx, dy, dz, tm, tris):
+    p = dx.shape[0]
+    return pl.pallas_call(
+        _shadow_kernel_g,
+        grid=(p,),
+        in_specs=[_smem(), _smem(), _smem()] + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32),  # blocked
+            pltpu.VMEM((LEAF_PAD, TRI_ROW), jnp.float32),
+            pltpu.SMEM((STACK_CAP,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(meta, box, signs, ox, oy, oz, dx, dy, dz, tm, tris)
+
+
+def _pad_flat(x, fill=0.0):
+    n = x.shape[0]
+    p = -(-n // PACKET_R)
+    return jnp.pad(x, (0, p * PACKET_R - n), constant_values=fill), n
+
+
+def closest_hit_c(scene, o3, d3, tmax):
+    """Component-planar closest hit: o3/d3 = (x, y, z) flat (R,) arrays.
+
+    Returns (dist, u, v, tri) flat (R,). miss -> BIG, masked -> -BIG."""
+    ox, n = _pad_flat(o3[0])
+    oy, _ = _pad_flat(o3[1])
+    oz, _ = _pad_flat(o3[2])
+    dx, _ = _pad_flat(d3[0], 1.0)
+    dy, _ = _pad_flat(d3[1], 1.0)
+    dz, _ = _pad_flat(d3[2], 1.0)
+    tm, _ = _pad_flat(tmax, -BIG)
+    pk = _pk
+    signs = _signs_of(pk(dx)[:, 0, 0], pk(dy)[:, 0, 0], pk(dz)[:, 0, 0])
+    dist, u, v, tri = _run_closest(
+        scene.pk_meta, scene.pk_box, signs,
+        pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
+        scene.pk_tris,
+    )
+    f = lambda a: a.reshape(-1)[:n]
+    return f(dist), f(u), f(v), f(tri)
+
+
+def any_hit_shared(scene, light_pos, d3, tmax):
+    """Shadow any-hit from a shared origin. Returns blocked bool (R,)."""
+    dx, n = _pad_flat(d3[0], 1.0)
+    dy, _ = _pad_flat(d3[1], 1.0)
+    dz, _ = _pad_flat(d3[2], 1.0)
+    tm, _ = _pad_flat(tmax, -BIG)
+    orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
+    pk = _pk
+    signs = _signs_of(pk(dx)[:, 0, 0], pk(dy)[:, 0, 0], pk(dz)[:, 0, 0])
+    out = _run_shadow(
+        scene.pk_meta, scene.pk_box, orig, signs,
+        pk(dx), pk(dy), pk(dz), pk(tm), scene.pk_tris,
+    )
+    return out.reshape(-1)[:n] > 0.0
+
+
+# --- (R, 3) AoS compatibility wrappers (the dispatch seam / tests) --------
 
 
 def pallas_closest_hit(scene, orig, dirn, tmax):
-    """Wavefront closest hit via the packet kernel. Same conventions as
+    """Wavefront closest hit, AoS (R, 3) interface. Same conventions as
     traverse_bvh_ref: miss -> BIG, masked (tmax<0) -> -BIG."""
-    rays, signs, n, p = _pack_rays(orig, dirn, tmax)
-    outf, outi = _run_closest(
-        scene.pk_table, scene.pk_aux, signs, rays, scene.pk_tris
-    )
-    dist = outf[:, 0, :].reshape(-1)[:n]
-    u = outf[:, 1, :].reshape(-1)[:n]
-    v = outf[:, 2, :].reshape(-1)[:n]
-    tri = outi[:, 0, :].reshape(-1)[:n]
+    o3 = (orig[:, 0], orig[:, 1], orig[:, 2])
+    d3 = (dirn[:, 0], dirn[:, 1], dirn[:, 2])
+    dist, u, v, tri = closest_hit_c(scene, o3, d3, tmax)
     active = tmax >= 0.0
     init = jnp.minimum(tmax, BIG)
     dist = jnp.where(dist < init, dist, BIG)
@@ -529,10 +686,30 @@ def pallas_closest_hit(scene, orig, dirn, tmax):
     return dist, tri, jnp.stack([u, v], axis=-1)
 
 
-def pallas_any_hit(scene, orig, dirn, tmax):
-    rays, signs, n, p = _pack_rays(orig, dirn, tmax)
-    out = _run_shadow(
-        scene.pk_table, scene.pk_aux, signs, rays, scene.pk_tris
+def any_hit_c(scene, o3, d3, tmax):
+    """Component-planar any-hit with per-ray origins. blocked bool (R,)."""
+    ox, n = _pad_flat(o3[0])
+    oy, _ = _pad_flat(o3[1])
+    oz, _ = _pad_flat(o3[2])
+    dx, _ = _pad_flat(d3[0], 1.0)
+    dy, _ = _pad_flat(d3[1], 1.0)
+    dz, _ = _pad_flat(d3[2], 1.0)
+    tm, _ = _pad_flat(tmax, -BIG)
+    pk = _pk
+    signs = _signs_of(pk(dx)[:, 0, 0], pk(dy)[:, 0, 0], pk(dz)[:, 0, 0])
+    out = _run_shadow_g(
+        scene.pk_meta, scene.pk_box, signs,
+        pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
+        scene.pk_tris,
     )
-    blocked = out[:, 0, :].reshape(-1)[:n] > 0.0
+    return out.reshape(-1)[:n] > 0.0
+
+
+def pallas_any_hit(scene, orig, dirn, tmax):
+    """AoS any-hit with per-ray origins (general kernel). The integrator's
+    shadow pass uses :func:`any_hit_shared` directly — lights are shared
+    origins (scene_inl.h:127-129) and skip the origin arrays entirely."""
+    o3 = (orig[:, 0], orig[:, 1], orig[:, 2])
+    d3 = (dirn[:, 0], dirn[:, 1], dirn[:, 2])
+    blocked = any_hit_c(scene, o3, d3, tmax)
     return blocked & (tmax >= 0.0)

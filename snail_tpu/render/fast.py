@@ -1,0 +1,228 @@
+"""Packed (component-planar) Whitted render path — the TPU fast lane.
+
+Same integrator semantics as :mod:`snail_tpu.render.integrator` (the
+rebuild of Scene::RayTrace, reference src/scene_inl.h:169-496) but every
+wavefront quantity is a flat (R,) float32 array in 32x32-pixel packet
+order, so nothing ever crosses lanes:
+
+- primary rays come straight out of the camera-fused Pallas kernel
+  (zero ray IO — snail_tpu.ops.traverse_pallas.camera_trace);
+- shading gathers use the scene's SoA arrays (``scene.sh_soa``);
+- shadow rays reuse the shared-origin any-hit kernel (lights are shared
+  origins, scene_inl.h:127-129);
+- secondary bounces go through closest_hit_c with component arrays;
+- the single AoS step left is the final (3, H, W) -> (H, W, 3) image
+  transpose.
+
+This path is forward-only and pallas-only; the differentiable/portable
+path stays in integrator.py. Numerics (attenuation polynomial, 0.9999
+shadow epsilon, dot^16 specular) are identical — see integrator.py for
+the reference citations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Camera, Light, RenderOpts
+from ..core.vecmath import BIG
+from ..ops.traverse_pallas import (
+    TILE,
+    any_hit_shared,
+    camera_trace,
+    closest_hit_c,
+)
+
+
+def _take(a, idx):
+    return jnp.take(a, idx, axis=0)
+
+
+def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
+                     depth: int):
+    """Shading + lights + bounces for one traced wavefront (components).
+
+    o3 may be a shared origin tuple of scalars (primary) or (R,) arrays.
+    Returns color components (r, g, b)."""
+    hit = (dist > 0.0) & (dist < BIG)
+    st = jnp.where(hit, tri, 0)
+    soa = scene.sh_soa
+    n0x, n0y, n0z, e1x, e1y, e1z, e2x, e2y, e2z = (
+        _take(soa[k], st) for k in range(9)
+    )
+    nx = n0x + e1x * u + e2x * v
+    ny = n0y + e1y * u + e2y * v
+    nz = n0z + e1z * u + e2z * v
+
+    mat = jnp.where(hit, _take(soa[15], st), 0)  # soa[15] = mat ids
+    kdr = _take(scene.mat_diffuse[:, 0], mat)
+    kdg = _take(scene.mat_diffuse[:, 1], mat)
+    kdb = _take(scene.mat_diffuse[:, 2], mat)
+    ksr = _take(scene.mat_specular[:, 0], mat)
+    ksg = _take(scene.mat_specular[:, 1], mat)
+    ksb = _take(scene.mat_specular[:, 2], mat)
+
+    dx, dy, dz = d3
+    if opts.textures and scene.tex_atlas is not None:
+        uc = _take(soa[9], st) + _take(soa[11], st) * u + _take(soa[13], st) * v
+        vc = _take(soa[10], st) + _take(soa[12], st) * u + _take(soa[14], st) * v
+        tex_id = _take(scene.mat_difftex, mat)
+        from ..scene.textures import sample_atlas
+
+        rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, tex_id,
+                           jnp.stack([uc, vc], axis=-1))
+        has = tex_id >= 0
+        kdr = jnp.where(has, rgb[..., 0], kdr)
+        kdg = jnp.where(has, rgb[..., 1], kdg)
+        kdb = jnp.where(has, rgb[..., 2], kdb)
+
+    ndotd = jnp.abs(dx * nx + dy * ny + dz * nz)
+    dr = jnp.where(hit, kdr * ndotd, 0.0)
+    dg = jnp.where(hit, kdg * ndotd, 0.0)
+    db = jnp.where(hit, kdb * ndotd, 0.0)
+
+    # hit position components
+    if isinstance(o3[0], (float, int)) or getattr(o3[0], "ndim", 1) == 0:
+        px = o3[0] + dx * dist
+        py = o3[1] + dy * dist
+        pz = o3[2] + dz * dist
+    else:
+        px = o3[0] + dx * dist
+        py = o3[1] + dy * dist
+        pz = o3[2] + dz * dist
+
+    # --- reflections (scene_inl.h:434-444) ---
+    if opts.reflections and depth < opts.max_bounces:
+        refl = jnp.where(hit, _take(scene.mat_reflect, mat), 0.0)
+        rsel = hit & (refl > 0.0)
+        dn = dx * nx + dy * ny + dz * nz
+        rdx = dx - 2.0 * dn * nx
+        rdy = dy - 2.0 * dn * ny
+        rdz = dz - 2.0 * dn * nz
+        rox = px + rdx * 0.001
+        roy = py + rdy * 0.001
+        roz = pz + rdz * 0.001
+        rtm = jnp.where(rsel, BIG, -BIG)
+        rr, rg, rb = _trace_and_shade(
+            scene, (rox, roy, roz), (rdx, rdy, rdz), rtm, opts, depth + 1
+        )
+        dr = jnp.where(rsel, dr + (rr - dr) * refl, dr)
+        dg = jnp.where(rsel, dg + (rg - dg) * refl, dg)
+        db = jnp.where(rsel, db + (rb - db) * refl, db)
+
+    # --- transparency continuation (scene_inl.h:445-458) ---
+    if opts.transparency and depth < opts.max_bounces:
+        opac = jnp.where(hit, _take(scene.mat_dissolve, mat), 1.0)
+        tsel = hit & (opac < 1.0)
+        tox = px + dx * 0.1
+        toy = py + dy * 0.1
+        toz = pz + dz * 0.1
+        ttm = jnp.where(tsel, BIG, -BIG)
+        tr, tg, tb = _trace_and_shade(
+            scene, (tox, toy, toz), d3, ttm, opts, depth + 1
+        )
+        dr = jnp.where(tsel, tr + (dr - tr) * opac, dr)
+        dg = jnp.where(tsel, tg + (dg - tg) * opac, dg)
+        db = jnp.where(tsel, tb + (db - tb) * opac, db)
+
+    # --- lights (TraceLight, scene_inl.h:89-167) ---
+    ldr = jnp.full_like(dr, opts.ambient)
+    ldg = jnp.full_like(dr, opts.ambient)
+    ldb = jnp.full_like(dr, opts.ambient)
+    lsr = jnp.zeros_like(dr)
+    lsg = jnp.zeros_like(dr)
+    lsb = jnp.zeros_like(dr)
+    lights: Optional[Light] = scene.lights
+    n_lights = 0 if lights is None else lights.pos.shape[0]
+    for i in range(n_lights):
+        lp = lights.pos[i]
+        lvx = px - lp[0]
+        lvy = py - lp[1]
+        lvz = pz - lp[2]
+        ld2 = lvx * lvx + lvy * lvy + lvz * lvz
+        ldist = jnp.sqrt(jnp.maximum(ld2, 1e-12))
+        ild = 1.0 / ldist
+        flx = lvx * ild
+        fly = lvy * ild
+        flz = lvz * ild
+        dot = nx * flx + ny * fly + nz * flz
+        mask = hit & (dot > 0.0)
+        if opts.shadows:
+            stm = jnp.where(mask, ldist * 0.9999, -BIG)
+            blocked = any_hit_shared(scene, lp, (flx, fly, flz), stm)
+            lit = mask & ~blocked
+        else:
+            lit = mask
+        at = ldist * (1.0 / lights.radius[i])
+        atten = jnp.maximum(
+            0.0, (1.0 - at) * 0.2 + 1.0 / (16.0 * at * at) - 0.0625
+        )
+        dm = jnp.where(lit, dot * atten, 0.0)
+        sm = dot * dot
+        sm = sm * sm
+        sm = sm * sm
+        sm = sm * sm
+        sm = jnp.where(lit, sm * atten, 0.0)
+        lc = lights.color[i]
+        ldr = ldr + lc[0] * dm
+        ldg = ldg + lc[1] * dm
+        ldb = ldb + lc[2] * dm
+        lsr = lsr + lc[0] * sm
+        lsg = lsg + lc[1] * sm
+        lsb = lsb + lc[2] * sm
+
+    sr = jnp.where(hit, ksr, 0.0)
+    sg = jnp.where(hit, ksg, 0.0)
+    sb = jnp.where(hit, ksb, 0.0)
+    cr = jnp.where(hit, dr * ldr + sr * lsr, 0.0)
+    cg = jnp.where(hit, dg * ldg + sg * lsg, 0.0)
+    cb = jnp.where(hit, db * ldb + sb * lsb, 0.0)
+    return cr, cg, cb
+
+
+def _trace_and_shade(scene, o3, d3, tmax, opts, depth):
+    dist, u, v, tri = closest_hit_c(scene, o3, d3, tmax)
+    active = tmax >= 0.0
+    dist = jnp.where(dist < jnp.minimum(tmax, BIG), dist, BIG)
+    dist = jnp.where(active, dist, -BIG)
+    return _shade_and_light(scene, o3, d3, dist, u, v, tri, opts, depth)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def render_frame_fast(scene, camera: Camera, width: int, height: int,
+                      opts: RenderOpts = RenderOpts()):
+    """Full-frame packed Whitted render. Returns [H, W, 3] float32.
+
+    Requires width/height multiples of 32 and a pallas-packed scene."""
+    dist, u, v, tri, dx, dy, dz = camera_trace(scene, camera, width, height)
+
+    if not opts.shading:
+        idist = jnp.where((dist > 0.0) & (dist < BIG), 1.0 / dist, 0.0)
+        cr, cg, cb = idist * 20.0, idist * 250.0, idist * 2.0
+    else:
+        o3 = (camera.pos[0], camera.pos[1], camera.pos[2])
+        cr, cg, cb = _shade_and_light(
+            scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0
+        )
+
+    # packet order -> image: (3, P, 32, 32) -> (H, W, 3); the one transpose
+    img = jnp.stack([cr, cg, cb], axis=0).reshape(
+        3, height // TILE, width // TILE, TILE, TILE
+    )
+    img = img.transpose(1, 3, 2, 4, 0).reshape(height, width, 3)
+    return img
+
+
+def fast_path_available(scene, width: int, height: int) -> bool:
+    return (
+        scene.pk_meta is not None
+        and scene.sh_soa is not None
+        and width % TILE == 0
+        and height % TILE == 0
+        and jax.default_backend() == "tpu"
+        and scene.backend != "reference"
+    )

@@ -30,8 +30,24 @@ from .raygen import TILE_H, TILE_W, primary_rays, tile_rays, untile_image
 @partial(jax.jit, static_argnames=("width", "height"))
 def render_frame(scene, camera: Camera, width: int, height: int,
                  opts: RenderOpts = RenderOpts()):
-    """Render a full frame; returns float32 [height, width, 3] linear color."""
+    """Render a full frame; returns float32 [height, width, 3] linear color.
+
+    Routes to the packed component-planar fast path (render/fast.py) on
+    TPU when the scene has pallas tables; falls back to the portable
+    (differentiable) wavefront integrator otherwise."""
+    from .fast import fast_path_available, render_frame_fast
+
     scale = 2 if opts.supersample else 1
+    if fast_path_available(scene, width * scale, height * scale):
+        img = render_frame_fast(scene, camera, width * scale,
+                                height * scale, opts)
+        if opts.supersample:
+            img = (
+                img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2]
+                + img[1::2, 1::2]
+            ) * 0.25
+        return img
+
     w, h = width * scale, height * scale
     th = TILE_H if h % TILE_H == 0 else 1
     tw = TILE_W if w % TILE_W == 0 else 1

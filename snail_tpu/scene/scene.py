@@ -66,12 +66,16 @@ class TracedScene:
     # Textures (atlas arrays; None => untextured scene)
     tex_atlas: Optional[jnp.ndarray] = None
     tex_meta: Optional[jnp.ndarray] = None
-    # Packed kernel layouts (snail_tpu.ops.traverse_pallas): SMEM node
-    # table i32[4N], dequant consts f32[8], HBM tris f32[Tpad, 16].
+    # Packed kernel layouts (snail_tpu.ops.traverse_pallas): SMEM meta
+    # i32[2N] + bbox f32[6N] tables, HBM tris f32[Tpad, 128].
     # None => scene exceeds the SMEM node cap; Pallas path unavailable.
-    pk_table: Optional[jnp.ndarray] = None
-    pk_aux: Optional[jnp.ndarray] = None
+    pk_meta: Optional[jnp.ndarray] = None
+    pk_box: Optional[jnp.ndarray] = None
     pk_tris: Optional[jnp.ndarray] = None
+    # Component-planar (SoA) shading arrays for the packed fast path:
+    # 16 flat (T,) arrays (n0.xyz, ne1.xyz, ne2.xyz, uv0.uv, uve1.uv,
+    # uve2.uv, mat) — gathers of (T,) beat gathers of (T, 3) on TPU.
+    sh_soa: Optional[tuple] = None
     # static meta
     num_tris: int = static_field(default=0)
     num_nodes: int = static_field(default=0)
@@ -121,10 +125,17 @@ def make_traced_scene(
     from ..ops.traverse_pallas import pack_scene_arrays
 
     try:
-        pk_table, pk_aux, pk_tris = pack_scene_arrays(bvh, g)
-        pk_table, pk_aux, pk_tris = dev(pk_table), dev(pk_aux), dev(pk_tris)
+        pk_meta, pk_box, pk_tris = pack_scene_arrays(bvh, g)
+        pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
     except ValueError:
-        pk_table = pk_aux = pk_tris = None  # too big; jnp fallback
+        pk_meta = pk_box = pk_tris = None  # too big; jnp fallback
+
+    sh_soa = tuple(
+        dev(np.ascontiguousarray(arr[:, k]))
+        for arr, width in ((g.n0, 3), (g.n_e1, 3), (g.n_e2, 3),
+                           (g.uv0, 2), (g.uv_e1, 2), (g.uv_e2, 2))
+        for k in range(width)
+    ) + (dev(g.mat_id),)
 
     return TracedScene(
         node_lo=dev(bvh.node_lo),
@@ -154,9 +165,10 @@ def make_traced_scene(
         lights=lights,
         tex_atlas=tex_atlas,
         tex_meta=tex_meta,
-        pk_table=pk_table,
-        pk_aux=pk_aux,
+        pk_meta=pk_meta,
+        pk_box=pk_box,
         pk_tris=pk_tris,
+        sh_soa=sh_soa,
         num_tris=geom.num_tris,
         num_nodes=bvh.num_nodes,
         leaf_max=leaf_max,

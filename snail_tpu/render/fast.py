@@ -7,7 +7,8 @@ order, so nothing ever crosses lanes:
 
 - primary rays come straight out of the camera-fused Pallas kernel
   (zero ray IO — snail_tpu.ops.traverse_pallas.camera_trace);
-- shading gathers use the scene's SoA arrays (``scene.sh_soa``);
+- shading data comes from one (R,16) row gather of scene.sh_pack
+  plus one of scene.mat_pack (64-B rows, the ShTriangle fetch-unit idea);
 - shadow rays reuse the shared-origin any-hit kernel (lights are shared
   origins, scene_inl.h:127-129);
 - secondary bounces go through closest_hit_c with component arrays;
@@ -50,27 +51,23 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
     Returns color components (r, g, b)."""
     hit = (dist > 0.0) & (dist < BIG)
     st = jnp.where(hit, tri, 0)
-    soa = scene.sh_soa
-    n0x, n0y, n0z, e1x, e1y, e1z, e2x, e2y, e2z = (
-        _take(soa[k], st) for k in range(9)
-    )
-    nx = n0x + e1x * u + e2x * v
-    ny = n0y + e1y * u + e2y * v
-    nz = n0z + e1z * u + e2z * v
+    # One 64-B row gather per hit (sh_pack) instead of 16 scattered scalar
+    # gathers — the ShTriangle one-cache-line fetch (triangle.h:181-230).
+    sh = _take(scene.sh_pack, st)  # (R, 16)
+    nx = sh[:, 0] + sh[:, 3] * u + sh[:, 6] * v
+    ny = sh[:, 1] + sh[:, 4] * u + sh[:, 7] * v
+    nz = sh[:, 2] + sh[:, 5] * u + sh[:, 8] * v
 
-    mat = jnp.where(hit, _take(soa[15], st), 0)  # soa[15] = mat ids
-    kdr = _take(scene.mat_diffuse[:, 0], mat)
-    kdg = _take(scene.mat_diffuse[:, 1], mat)
-    kdb = _take(scene.mat_diffuse[:, 2], mat)
-    ksr = _take(scene.mat_specular[:, 0], mat)
-    ksg = _take(scene.mat_specular[:, 1], mat)
-    ksb = _take(scene.mat_specular[:, 2], mat)
+    mat = jnp.where(hit, sh[:, 15].astype(jnp.int32), 0)
+    mp = _take(scene.mat_pack, mat)  # (R, 16)
+    kdr, kdg, kdb = mp[:, 0], mp[:, 1], mp[:, 2]
+    ksr, ksg, ksb = mp[:, 3], mp[:, 4], mp[:, 5]
 
     dx, dy, dz = d3
     if opts.textures and scene.tex_atlas is not None:
-        uc = _take(soa[9], st) + _take(soa[11], st) * u + _take(soa[13], st) * v
-        vc = _take(soa[10], st) + _take(soa[12], st) * u + _take(soa[14], st) * v
-        tex_id = _take(scene.mat_difftex, mat)
+        uc = sh[:, 9] + sh[:, 11] * u + sh[:, 13] * v
+        vc = sh[:, 10] + sh[:, 12] * u + sh[:, 14] * v
+        tex_id = mp[:, 8].astype(jnp.int32)
         from ..scene.textures import sample_atlas
 
         rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, tex_id,
@@ -97,7 +94,7 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
 
     # --- reflections (scene_inl.h:434-444) ---
     if opts.reflections and depth < opts.max_bounces:
-        refl = jnp.where(hit, _take(scene.mat_reflect, mat), 0.0)
+        refl = jnp.where(hit, mp[:, 6], 0.0)
         rsel = hit & (refl > 0.0)
         dn = dx * nx + dy * ny + dz * nz
         rdx = dx - 2.0 * dn * nx
@@ -116,7 +113,7 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
 
     # --- transparency continuation (scene_inl.h:445-458) ---
     if opts.transparency and depth < opts.max_bounces:
-        opac = jnp.where(hit, _take(scene.mat_dissolve, mat), 1.0)
+        opac = jnp.where(hit, mp[:, 7], 1.0)
         tsel = hit & (opac < 1.0)
         tox = px + dx * 0.1
         toy = py + dy * 0.1

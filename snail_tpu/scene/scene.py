@@ -76,6 +76,14 @@ class TracedScene:
     # 16 flat (T,) arrays (n0.xyz, ne1.xyz, ne2.xyz, uv0.uv, uve1.uv,
     # uve2.uv, mat) — gathers of (T,) beat gathers of (T, 3) on TPU.
     sh_soa: Optional[tuple] = None
+    # Row-packed shading/material tables: ONE 64-byte row gather per hit
+    # instead of 16 scattered scalar gathers (the ShTriangle "64 B = one
+    # fetch unit" idea, triangle.h:181-230, mapped to TPU gather rows).
+    # sh_pack f32[T,16]: n0.xyz, e1.xyz, e2.xyz, u0,v0, du1,dv1, du2,dv2,
+    # mat. mat_pack f32[M,16]: kd.xyz, ks.xyz, reflect, dissolve, difftex,
+    # disstex, emissive.xyz, flags, pad.
+    sh_pack: Optional[jnp.ndarray] = None
+    mat_pack: Optional[jnp.ndarray] = None
     # static meta
     num_tris: int = static_field(default=0)
     num_nodes: int = static_field(default=0)
@@ -137,6 +145,27 @@ def make_traced_scene(
         for k in range(width)
     ) + (dev(g.mat_id),)
 
+    t = len(g.a)
+    sh_pack = np.zeros((t, 16), np.float32)
+    sh_pack[:, 0:3] = g.n0
+    sh_pack[:, 3:6] = g.n_e1
+    sh_pack[:, 6:9] = g.n_e2
+    sh_pack[:, 9:11] = g.uv0
+    sh_pack[:, 11:13] = g.uv_e1
+    sh_pack[:, 13:15] = g.uv_e2
+    sh_pack[:, 15] = g.mat_id.astype(np.float32)
+
+    m = len(materials.diffuse)
+    mat_pack = np.zeros((m, 16), np.float32)
+    mat_pack[:, 0:3] = materials.diffuse
+    mat_pack[:, 3:6] = materials.specular
+    mat_pack[:, 6] = materials.reflectivity
+    mat_pack[:, 7] = materials.dissolve
+    mat_pack[:, 8] = materials.diffuse_tex.astype(np.float32)
+    mat_pack[:, 9] = materials.dissolve_tex.astype(np.float32)
+    mat_pack[:, 10:13] = materials.emissive
+    mat_pack[:, 13] = materials.flags.astype(np.float32)
+
     return TracedScene(
         node_lo=dev(bvh.node_lo),
         node_hi=dev(bvh.node_hi),
@@ -169,6 +198,8 @@ def make_traced_scene(
         pk_box=pk_box,
         pk_tris=pk_tris,
         sh_soa=sh_soa,
+        sh_pack=dev(sh_pack),
+        mat_pack=dev(mat_pack),
         num_tris=geom.num_tris,
         num_nodes=bvh.num_nodes,
         leaf_max=leaf_max,

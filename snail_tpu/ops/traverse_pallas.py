@@ -70,8 +70,11 @@ PACKET_R = RAY_SUB * RAY_LANE  # 1024 rays per packet
 TILE = 32  # camera kernel renders 32x32-pixel packets
 STACK_CAP = 96  # maxDepth(64) + slack (reference uses maxDepth+2)
 LEAF_PAD = 64  # leaf DMA granule (rows); builder leaf_size must be <= this
+IVAL_LEAF = 16  # leaf granule of the interval kernels (small leaves: node
+# visits are free on the scalar core, so deeper trees + tighter culls win)
+NBUF = 8  # leaf DMA ring slots (latency hiding, spu/base.h:85-135 analogue)
 TRI_ROW = 128  # floats per triangle row (lane-aligned for DMA slicing)
-SMEM_NODE_CAP = 14336  # 32 B/node -> ~448 KB of the ~1 MB SMEM
+SMEM_NODE_CAP = 24576  # 32 B/node; box f32[6N]+meta i32[2N] ~ 768 KB SMEM
 
 
 def _interpret() -> bool:
@@ -183,6 +186,16 @@ def _slab_any(o, idir, lo, hi, best):
 def _tri_cols(ts, r0):
     """Static (4, 1, 1) component slices of the staged leaf block."""
     return [ts[r0 : r0 + 4, j : j + 1][..., None] for j in range(12)]
+
+
+def _tri_cols_slot(ts_ref, slot, r0):
+    """(4, 1, 1) component loads from ring slot ``slot`` of a
+    (NBUF, IVAL_LEAF, TRI_ROW) scratch. Slicing the ref directly (dynamic
+    leading index + static minor slices) keeps Mosaic on plain vector
+    loads; loading ts_ref[slot] as a value first forces a relayout of the
+    whole block per access (measured 8x slower)."""
+    return [ts_ref[slot, r0 : r0 + 4, j : j + 1][..., None]
+            for j in range(12)]
 
 
 def _intersect4(o, d, cols):
@@ -465,6 +478,393 @@ def _shadow_kernel_g(tbl_ref, box_ref, signs_ref,
 
 
 # ---------------------------------------------------------------------------
+# Decoupled interval traversal (scalar-core BVH walk + leaf DMA ring)
+#
+# The reference culls per node with a whole-packet interval test BEFORE any
+# per-ray work (RayInterval, ray_group.h:293-338; BBox::TestInterval,
+# bounding_box.cpp:208-236). On TPU that observation is worth far more than
+# on SSE: a per-node vectorized slab test needs a vector->scalar reduction
+# (jnp.any) to drive the stack, and that sync is the single most expensive
+# thing in the loop. Here the ENTIRE node walk runs on the scalar core with
+# interval arithmetic only (~30 scalar ops per node, zero syncs); leaves
+# are pushed onto an NBUF-deep DMA ring (the SPU Cache<T> prefetch idea,
+# spu/base.h:85-135) so HBM latency overlaps both the scalar walk and the
+# VPU intersection of earlier leaves. Measured on feline 1024^2 the
+# interval walk visits only ~7% more nodes / ~18% more triangles than the
+# exact per-ray walk (32x32-pixel packets are that coherent).
+#
+# The one scalar<->vector sync left is per LEAF DRAIN: a max-reduce of the
+# remaining useful distance (closest hit: max over rays of best; shadow:
+# max over unblocked rays of tmax). It doubles as the reference's
+# full-occlusion early exit (traverse.cpp:117-121): bound < 0 => stop.
+# ---------------------------------------------------------------------------
+
+
+def _ival_bounds(idir):
+    """Per-packet scalar inverse-direction interval from (8,128) idirs.
+
+    Returns ((imin, imax, span) per axis, sign per axis). ``span`` marks a
+    direction component crossing zero - that axis can never cull. The
+    per-axis near/far ordering sign comes from the interval midpoint
+    (reference uses ray 0, traverse.cpp:21)."""
+    out = []
+    signs = []
+    for c in idir:
+        im = jnp.min(c)
+        iM = jnp.max(c)
+        out.append((im, iM, (im < 0.0) & (iM > 0.0)))
+        signs.append((im + iM < 0.0).astype(jnp.int32))
+    return tuple(out), tuple(signs)
+
+
+def _ival_test(box_ref, node, o, bnds, maxb):
+    """Whole-packet conservative slab test, pure scalar core.
+
+    The rebuild of BBox::TestInterval (bounding_box.cpp:208-236):
+    min/max of (plane - origin) * idir over the idir interval per axis."""
+    b = node * 6
+    tn = jnp.float32(0.0)
+    tf = maxb
+    for k in range(3):
+        im, iM, span = bnds[k]
+        a = box_ref[b + k] - o[k]
+        c = box_ref[b + 3 + k] - o[k]
+        p1 = a * im
+        p2 = a * iM
+        p3 = c * im
+        p4 = c * iM
+        tnk = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+        tfk = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+        tn = jnp.maximum(tn, jnp.where(span, -BIG, tnk))
+        tf = jnp.minimum(tf, jnp.where(span, BIG, tfk))
+    return (tn <= tf) & (tf > 0.0)
+
+
+def _leaf_dma(tris_hbm, tscratch, sems, slot, first):
+    return pltpu.make_async_copy(
+        tris_hbm.at[pl.ds(first, IVAL_LEAF), :],
+        tscratch.at[slot],
+        sems.at[slot],
+    )
+
+
+def _traverse_ival(tbl_ref, box_ref, o, bnds, signs, maxb0,
+                   process_fn, bound_fn,
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref):
+    """Chunked two-phase interval walk.
+
+    Phase A (pure scalar): pop nodes, interval-test children, queue up to
+    NBUF leaves - starting each leaf's HBM->VMEM DMA the moment it is
+    found, so the copies overlap the rest of the walk. Phase B (vector):
+    a STATICALLY UNROLLED loop over the ring slots waits each DMA and
+    runs ``process_fn(slot, first, count)``; all VMEM addressing is
+    static. One ``bound_fn()`` reduce per chunk refreshes the scalar
+    distance bound (and doubles as the shadow full-occlusion early exit,
+    traverse.cpp:117-121) - the only vector->scalar sync in the kernel.
+
+    Keeping Phase B out of ``lax.cond``-with-carry matters: vector code
+    under a carried cond inside the walk loop measured ~8x slower than
+    this structure (Mosaic can't branch it cleanly).
+    """
+    sx, sy, sz = signs
+
+    def walk_body(carry):
+        sp, nq, maxb = carry
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        child, count, axis, fnode = _meta(tbl_ref, node)
+
+        def leaf_case(args):
+            sp, nq = args
+            _leaf_dma(tris_hbm, tscratch, sems, nq, child).start()
+            lq_ref[nq * 3] = child
+            lq_ref[nq * 3 + 1] = count
+            lq_ref[nq * 3 + 2] = node
+            return sp, nq + 1
+
+        def inner_case(args):
+            sp, nq = args
+            sgn = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            bit = fnode ^ sgn
+            near = child + bit
+            far = child + 1 - bit
+            pf = _ival_test(box_ref, far, o, bnds, maxb)
+            pn = _ival_test(box_ref, near, o, bnds, maxb)
+            stack_ref[sp] = far
+            sp = sp + pf.astype(jnp.int32)
+            stack_ref[sp] = near
+            sp = sp + pn.astype(jnp.int32)
+            return sp, nq
+
+        sp, nq = jax.lax.cond(count > 0, leaf_case, inner_case, (sp, nq))
+        return sp, nq, maxb
+
+    def outer_body(carry):
+        sp, maxb = carry
+        sp, nq, _ = jax.lax.while_loop(
+            lambda c: (c[0] > 0) & (c[1] < NBUF), walk_body, (sp, 0, maxb)
+        )
+        for i in range(NBUF):  # static slots: no dynamic VMEM addressing
+
+            @pl.when(i < nq)
+            def _(i=i):
+                first = lq_ref[i * 3]
+                count = lq_ref[i * 3 + 1]
+                nd = lq_ref[i * 3 + 2]
+                _leaf_dma(tris_hbm, tscratch, sems, i, first).wait()
+                process_fn(i, first, count, nd)
+
+        return sp, bound_fn()
+
+    root_ok = _ival_test(box_ref, 0, o, bnds, maxb0)
+    stack_ref[0] = 0
+    sp0 = root_ok.astype(jnp.int32)
+    jax.lax.while_loop(
+        lambda c: (c[0] > 0) & (c[1] > 0.0), outer_body, (sp0, maxb0)
+    )
+
+
+def _closest_ival_drain(o, d, idir, box_ref, tscratch,
+                        best_ref, bu_ref, bv_ref, tri_ref):
+    """Closest-hit leaf processing (VPU, static slot addressing).
+
+    Before intersecting, the leaf's bbox is re-tested per ray against the
+    CURRENT per-ray best (the cull the scalar interval walk cannot do -
+    its bound is a packet max, so one far-exiting ray would otherwise
+    drag every leaf in). One any()-sync per leaf buys skipping the whole
+    16-triangle block."""
+
+    def process_fn(slot, first, count, node):
+        lo, hi = _box(box_ref, node)
+        aug = _slab_any(o, idir, lo, hi, best_ref[:, :])
+
+        @pl.when(aug)
+        def _():
+            _leaf_tris(slot, first, count)
+
+    def _leaf_tris(slot, first, count):
+        ts = tscratch.at[slot]
+        for blk in range(IVAL_LEAF // 4):
+            r0 = blk * 4
+
+            @pl.when(r0 < count)
+            def _(r0=r0):
+                det, u, v, tmul = _intersect4(o, d, _tri_cols(ts, r0))
+                duv = det - u - v
+                side = (jnp.maximum(u, jnp.maximum(v, duv)) <= 0.0) | (
+                    jnp.minimum(u, jnp.minimum(v, duv)) >= 0.0
+                )
+                idet = 1.0 / jnp.where(det == 0.0, 1e-30, det)
+                dist = tmul * idet
+                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
+                ok = side & (det != 0.0) & (dist > 0.0) & ((r0 + row) < count)
+                dist = jnp.where(ok, dist, BIG)
+                m = jnp.min(dist, axis=0)
+                upd = m < best_ref[:, :]
+                is_min = (dist == m[None]) & ok
+                ids = first + r0 + row
+                tid = jnp.min(
+                    jnp.where(is_min, ids, jnp.int32(2**30)), axis=0
+                )
+                sel_u = jnp.max(jnp.where(is_min, u * idet, -BIG), axis=0)
+                sel_v = jnp.max(jnp.where(is_min, v * idet, -BIG), axis=0)
+                best_ref[:, :] = jnp.where(upd, m, best_ref[:, :])
+                tri_ref[:, :] = jnp.where(upd, tid, tri_ref[:, :])
+                bu_ref[:, :] = jnp.where(upd, sel_u, bu_ref[:, :])
+                bv_ref[:, :] = jnp.where(upd, sel_v, bv_ref[:, :])
+
+    def bound_fn():
+        return jnp.max(best_ref[:, :])
+
+    return process_fn, bound_fn
+
+
+def _shadow_ival_drain(o, d, idir, box_ref, limit, tscratch, blocked_ref):
+    """Any-hit leaf processing + remaining-open-tmax bound, with the
+    same per-leaf per-ray cull (open rays only)."""
+
+    def process_fn(slot, first, count, node):
+        lo, hi = _box(box_ref, node)
+        open_lim = jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit)
+        aug = _slab_any(o, idir, lo, hi, open_lim)
+
+        @pl.when(aug)
+        def _():
+            _leaf_tris(slot, first, count)
+
+    def _leaf_tris(slot, first, count):
+        ts = tscratch.at[slot]
+        for blk in range(IVAL_LEAF // 4):
+            r0 = blk * 4
+
+            @pl.when(r0 < count)
+            def _(r0=r0):
+                det, u, v, tmul = _intersect4(o, d, _tri_cols(ts, r0))
+                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
+                occ = (
+                    (jnp.minimum(u, v) >= 0.0)
+                    & (u + v <= det)
+                    & (tmul > 0.0)
+                    & (tmul < limit[None] * det)
+                    & ((r0 + row) < count)
+                )
+                occ_any = jnp.max(jnp.where(occ, 1.0, 0.0), axis=0)
+                blocked_ref[:, :] = jnp.maximum(blocked_ref[:, :], occ_any)
+
+    def bound_fn():
+        return jnp.max(jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit))
+
+    return process_fn, bound_fn
+
+
+def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
+                        dist_ref, u_ref, v_ref, tri_out,
+                        dx_ref, dy_ref, dz_ref,
+                        best_ref, bu_ref, bv_ref, tri_ref,
+                        tscratch, stack_ref, lq_ref, sems):
+    """Primary rays: camera-fused raygen + decoupled interval traversal.
+
+    cam layout as _camera_kernel (f32[16])."""
+    pid = pl.program_id(0)
+    tiles_x = cam_ref[15].astype(jnp.int32)
+    tx = pid % tiles_x
+    ty = pid // tiles_x
+
+    k = (
+        jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 0) * RAY_LANE
+        + jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 1)
+    )
+    px = (tx * TILE + k % TILE).astype(jnp.float32)
+    py = (ty * TILE + k // TILE).astype(jnp.float32)
+    x = (px + 0.5 - cam_ref[12]) * cam_ref[14]
+    y = (cam_ref[13] - py - 0.5) * cam_ref[14]
+
+    dx = cam_ref[0] * x + cam_ref[3] * y + cam_ref[6]
+    dy = cam_ref[1] * x + cam_ref[4] * y + cam_ref[7]
+    dz = cam_ref[2] * x + cam_ref[5] * y + cam_ref[8]
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx = dx * inv_len
+    dy = dy * inv_len
+    dz = dz * inv_len
+
+    o = (cam_ref[9], cam_ref[10], cam_ref[11])
+    d = (dx, dy, dz)
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+    bnds, signs = _ival_bounds(idir)
+
+    # Cap each ray's working bound at its root-box EXIT distance: rays
+    # that miss everything then stop holding the packet's scalar bound
+    # (and the per-leaf culls) at BIG. Hits are tracked via tri >= 0.
+    rlo, rhi = _box(box_ref, 0)
+    t1 = tuple((rlo[k] - o[k]) * idir[k] for k in range(3))
+    t2 = tuple((rhi[k] - o[k]) * idir[k] for k in range(3))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1[0], t2[0]), jnp.maximum(t1[1], t2[1])),
+        jnp.maximum(t1[2], t2[2]),
+    )
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1[0], t2[0]), jnp.minimum(t1[1], t2[1])),
+        jnp.minimum(t1[2], t2[2]),
+    )
+    t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
+
+    best_ref[:, :] = t_exit
+    bu_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
+    bv_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
+    tri_ref[:, :] = jnp.full((RAY_SUB, RAY_LANE), -1, jnp.int32)
+
+    process_fn, bound_fn = _closest_ival_drain(
+        o, d, idir, box_ref, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
+    _traverse_ival(tbl_ref, box_ref, o, bnds, signs, jnp.max(t_exit),
+                   process_fn, bound_fn,
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref)
+
+    dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
+    u_ref[0] = bu_ref[:, :]
+    v_ref[0] = bv_ref[:, :]
+    tri_out[0] = tri_ref[:, :]
+    dx_ref[0] = dx
+    dy_ref[0] = dy
+    dz_ref[0] = dz
+
+
+def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref,
+                        dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                        out_ref, blocked_ref,
+                        tscratch, stack_ref, lq_ref, sems):
+    """Shadow any-hit from the shared light origin, interval traversal."""
+    o = (orig_ref[0], orig_ref[1], orig_ref[2])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+    bnds, signs = _ival_bounds(idir)
+
+    active = tmax >= 0.0
+    blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
+    limit = jnp.where(active, tmax, -BIG)
+    maxb0 = jnp.max(limit)
+
+    process_fn, bound_fn = _shadow_ival_drain(o, d, idir, box_ref, limit,
+                                               tscratch, blocked_ref)
+    _traverse_ival(tbl_ref, box_ref, o, bnds, signs, maxb0,
+                   process_fn, bound_fn,
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref)
+    out_ref[0] = blocked_ref[:, :]
+
+
+def _ival_scratches(extra_vec: int):
+    return [
+        pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)
+        for _ in range(extra_vec)
+    ] + [
+        pltpu.VMEM((NBUF, IVAL_LEAF, TRI_ROW), jnp.float32),  # leaf ring
+        pltpu.SMEM((STACK_CAP,), jnp.int32),  # stack
+        pltpu.SMEM((NBUF * 3,), jnp.int32),  # leaf queue (first, count, node)
+        pltpu.SemaphoreType.DMA((NBUF,)),
+    ]
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _run_camera_ival(meta, box, cam, tris, p):
+    return pl.pallas_call(
+        _camera_ival_kernel,
+        grid=(p,),
+        in_specs=[_smem(), _smem(), _smem(),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 7,
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _ival_scratches(0)
+        ),
+        interpret=_interpret(),
+    )(meta, box, cam, tris)
+
+
+@jax.jit
+def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
+    p = dx.shape[0]
+    return pl.pallas_call(
+        _shadow_ival_kernel,
+        grid=(p,),
+        in_specs=[_smem(), _smem(), _smem()] + [_blk()] * 4
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _ival_scratches(0)
+        ),
+        interpret=_interpret(),
+    )(meta, box, orig, dx, dy, dz, tm, tris)
+
+
+# ---------------------------------------------------------------------------
 # Host wrappers
 # ---------------------------------------------------------------------------
 
@@ -529,7 +929,10 @@ def camera_trace(scene, camera, width: int, height: int):
     Returns flat (R,) arrays: dist, u, v, tri, dx, dy, dz in 32x32-tile
     packet order (use :func:`packet_order_to_image`). Requires
     width % 32 == height % 32 == 0.
-    """
+
+    Scenes built with leaf_size <= IVAL_LEAF take the decoupled
+    interval-traversal kernel; fatter-leaf scenes fall back to the
+    vector-culled kernel."""
     assert width % TILE == 0 and height % TILE == 0, (width, height)
     tiles_x = width // TILE
     p = tiles_x * (height // TILE)
@@ -546,6 +949,13 @@ def camera_trace(scene, camera, width: int, height: int):
             jnp.float32(tiles_x),
         ]),
     ]).astype(jnp.float32)
+
+    if scene.leaf_max <= IVAL_LEAF:
+        dist, u, v, tri, dx, dy, dz = _run_camera_ival(
+            scene.pk_meta, scene.pk_box, cam, scene.pk_tris, p
+        )
+        f = lambda a: a.reshape(-1)
+        return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
 
     # ray 0 of packet (tx, ty) is pixel (tx*32, ty*32)
     txs = jnp.arange(p, dtype=jnp.int32) % tiles_x
@@ -662,6 +1072,12 @@ def any_hit_shared(scene, light_pos, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
     pk = _pk
+    if scene.leaf_max <= IVAL_LEAF:
+        out = _run_shadow_ival(
+            scene.pk_meta, scene.pk_box, orig,
+            pk(dx), pk(dy), pk(dz), pk(tm), scene.pk_tris,
+        )
+        return out.reshape(-1)[:n] > 0.0
     signs = _signs_of(pk(dx)[:, 0, 0], pk(dy)[:, 0, 0], pk(dz)[:, 0, 0])
     out = _run_shadow(
         scene.pk_meta, scene.pk_box, orig, signs,

@@ -150,7 +150,32 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         mask = hit & (dot > 0.0)
         if opts.shadows:
             stm = jnp.where(mask, ldist * 0.9999, -BIG)
-            blocked = any_hit_shared(scene, lp, (flx, fly, flz), stm)
+            # Masked rays (misses, backfaces) carry garbage directions
+            # (hit position at dist=BIG); they would blow the packet's
+            # direction interval wide open and defeat the scalar interval
+            # culls. Substitute each packet's mean valid direction - a
+            # point inside the packet's own cone, so the interval bounds
+            # don't widen at all. (Unnormalized is fine: the kernel culls
+            # with the idir bounds of the values actually passed, and
+            # masked rays' intersections are discarded via tmax < 0.)
+            from ..ops.traverse_pallas import PACKET_R
+
+            def _pkmean(c):
+                cm = jnp.where(mask, c, 0.0).reshape(-1, PACKET_R)
+                return cm.sum(axis=1) / jnp.maximum(
+                    mask.reshape(-1, PACKET_R).sum(axis=1), 1
+                )
+
+            mdx = jnp.repeat(_pkmean(flx), PACKET_R)
+            mdy = jnp.repeat(_pkmean(fly), PACKET_R)
+            mdz = jnp.repeat(_pkmean(flz), PACKET_R)
+            # fully-masked packets: any nonzero dir keeps idir finite
+            mlen = mdx * mdx + mdy * mdy + mdz * mdz
+            mdz = jnp.where(mlen < 1e-12, 1.0, mdz)
+            sdx = jnp.where(mask, flx, mdx)
+            sdy = jnp.where(mask, fly, mdy)
+            sdz = jnp.where(mask, flz, mdz)
+            blocked = any_hit_shared(scene, lp, (sdx, sdy, sdz), stm)
             lit = mask & ~blocked
         else:
             lit = mask

@@ -217,8 +217,9 @@ def load_scene(
     gen_normals: bool = True,
     lights: Optional[Light] = None,
     backend: str = "auto",
-    leaf_size: int = 64,  # fat leaves: SMEM node table stays small while
-    # the VPU brute-forces the staged leaf block (traverse_pallas design)
+    leaf_size: int = 16,  # small leaves: node visits are near-free on the
+    # scalar core (interval traversal), so tighter culls win; must stay
+    # <= traverse_pallas.IVAL_LEAF for the decoupled kernel path
 ) -> TracedScene:
     """One-call scene load: the rtracer startup path
     (rtracer.cpp:518-587: load OBJ -> FlipNormals -> GenNormals ->

@@ -100,3 +100,65 @@ def test_pallas_non_multiple_packet(rng):
     np.testing.assert_allclose(
         pd[(rd > 0) & (rd < BIG)], rd[(rd > 0) & (rd < BIG)], rtol=1e-5
     )
+
+
+def test_ival_camera_trace_matches_reference(rng):
+    """The decoupled interval-traversal camera kernel (scalar walk + leaf
+    DMA ring) against the jnp reference, full 64x64 frame of primary rays
+    (leaf_size <= IVAL_LEAF selects the ival path in camera_trace)."""
+    from snail_tpu.core.types import Camera
+    from snail_tpu.ops.traverse_pallas import IVAL_LEAF, camera_trace
+    from snail_tpu.render.raygen import primary_rays, tile_rays
+
+    scene = _random_scene(rng, n=300)
+    assert scene.leaf_max <= IVAL_LEAF
+    cam = Camera.look_at(pos=(9.0, 7.0, 11.0), target=(0.0, 0.0, 0.0))
+    w = h = 64
+    dist, u, v, tri, dx, dy, dz = camera_trace(scene, cam, w, h)
+
+    origin, dirs = primary_rays(cam, w, h)
+    d = tile_rays(dirs, 32, 32).reshape(-1, 3)
+    o = jnp.broadcast_to(origin, d.shape)
+    tmax = jnp.full(d.shape[:1], BIG, jnp.float32)
+    rd, rt, rb = dispatch.closest_hit(
+        scene.with_backend("reference"), o, d, tmax
+    )
+
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(rd),
+                               rtol=2e-4, atol=2e-4)
+    hit = np.asarray(rd) < BIG
+    assert (np.asarray(tri)[hit] == np.asarray(rt)[hit]).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(u)[hit],
+                               np.asarray(rb)[hit, 0], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v)[hit],
+                               np.asarray(rb)[hit, 1], atol=2e-3)
+
+
+def test_ival_shadow_matches_reference(rng):
+    """any_hit_shared via the interval kernel vs the jnp reference."""
+    from snail_tpu.ops.traverse_pallas import IVAL_LEAF, any_hit_shared
+
+    scene = _random_scene(rng, n=300)
+    assert scene.leaf_max <= IVAL_LEAF
+    light = np.array([0.0, 20.0, 0.0], np.float32)
+    n = 2048
+    tgt = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    d = tgt - light
+    ld = np.linalg.norm(d, axis=-1)
+    d = d / ld[:, None]
+    tmax = (ld * 0.9999).astype(np.float32)
+    tmax[:64] = -BIG  # masked rays
+
+    blocked = any_hit_shared(
+        scene, jnp.asarray(light),
+        (jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2])),
+        jnp.asarray(tmax),
+    )
+    orig = jnp.broadcast_to(jnp.asarray(light), (n, 3))
+    ref = dispatch.any_hit(
+        scene.with_backend("reference"), orig, jnp.asarray(d),
+        jnp.asarray(tmax)
+    )
+    pb = np.asarray(blocked) & (tmax >= 0)
+    rb = np.asarray(ref) & (tmax >= 0)
+    assert (pb == rb).mean() > 0.999

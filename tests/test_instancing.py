@@ -1,0 +1,99 @@
+"""Two-level instancing (DBVH rebuild) vs brute-force transformed geometry
+(reference dbvh/tree.h:7-252; the veclib cross-check pattern, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from snail_tpu.bvh import build_bvh
+from snail_tpu.core.types import Camera, Light
+from snail_tpu.core.vecmath import BIG
+from snail_tpu.scene.instancing import (
+    instanced_closest_hit,
+    make_instances,
+    render_instanced,
+    rotation_y,
+)
+from snail_tpu.scene.scene import load_scene
+
+
+@pytest.fixture(scope="module")
+def box_traced():
+    return load_scene(
+        "/root/reference/scenes/box.obj", cache_dir=None,
+        lights=Light.make((0, 8, 0), (1, 1, 1), 40.0),
+        backend="reference",
+    )
+
+
+def test_instance_bbox_cache(box_traced):
+    rot = jnp.stack([jnp.eye(3), rotation_y(jnp.float32(0.5))])
+    trans = jnp.asarray([[0.0, 0.0, 0.0], [4.0, 0.0, 0.0]], jnp.float32)
+    isc = make_instances(box_traced, rot, trans)
+    lo, hi = box_traced.bbox
+    np.testing.assert_allclose(np.asarray(isc.inst_lo[0]), np.asarray(lo),
+                               atol=1e-5)
+    # translated instance bbox shifts by +4 in x
+    np.testing.assert_allclose(
+        float(isc.inst_lo[1, 0] - isc.inst_lo[0, 0]), 4.0, atol=0.8
+    )
+
+
+def test_instanced_hits_match_transformed_brute_force(box_traced, rng):
+    ang = 0.7
+    rot = jnp.stack([jnp.eye(3), rotation_y(jnp.float32(ang))])
+    trans = jnp.asarray([[0.0, 0.0, 0.0], [3.0, 0.5, 0.0]], jnp.float32)
+    isc = make_instances(box_traced, rot, trans)
+
+    n = 256
+    orig = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    orig[:, 1] += 6.0
+    tgt = rng.uniform(-2, 4, (n, 3)).astype(np.float32)
+    d = tgt - orig
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = np.full(n, BIG, np.float32)
+
+    o3 = tuple(jnp.asarray(orig[:, k]) for k in range(3))
+    d3 = tuple(jnp.asarray(d[:, k]) for k in range(3))
+    dist, inst, tri, u, v = instanced_closest_hit(isc, o3, d3,
+                                                  jnp.asarray(tmax))
+
+    # brute force: intersect against both transformed triangle sets
+    a = np.asarray(box_traced.tri_a)
+    ba = np.asarray(box_traced.tri_ba)
+    ca = np.asarray(box_traced.tri_ca)
+    best = np.full(n, BIG, np.float32)
+    for i, (R, t) in enumerate(zip(np.asarray(rot), np.asarray(trans))):
+        aw = a @ R.T + t
+        baw = ba @ R.T
+        caw = ca @ R.T
+        nw = np.cross(baw, caw)
+        for ti in range(len(aw)):
+            tv = orig - aw[ti]
+            det = d @ nw[ti]
+            tmul = -(tv @ nw[ti])
+            uu = np.einsum("rj,rj->r", d, np.cross(tv, caw[ti][None], axis=-1))
+            vv = np.einsum("rj,rj->r", d, np.cross(baw[ti][None], tv, axis=-1))
+            duv = det - uu - vv
+            side = (np.maximum(uu, np.maximum(vv, duv)) <= 0) | (
+                np.minimum(uu, np.minimum(vv, duv)) >= 0
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dd = np.where(det != 0, tmul / det, BIG)
+            ok = side & (det != 0) & (dd > 0)
+            best = np.where(ok & (dd < best), dd, best)
+
+    np.testing.assert_allclose(np.asarray(dist), best, rtol=2e-4, atol=2e-4)
+
+
+def test_render_instanced_smoke(box_traced):
+    rot = jnp.stack([jnp.eye(3), rotation_y(jnp.float32(1.0))])
+    trans = jnp.asarray([[0.0, 0.0, 0.0], [3.5, 0.0, 0.0]], jnp.float32)
+    isc = make_instances(box_traced, rot, trans)
+    cam = Camera.look_at(pos=(2.0, 6.0, 10.0), target=(1.5, 0.0, 0.0))
+    img = render_instanced(isc, cam, 64, 64)
+    img = np.asarray(img)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01  # something got shaded

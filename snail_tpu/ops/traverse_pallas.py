@@ -7,10 +7,11 @@ kernel design (src/spu/trace.cpp), mapped onto the TPU memory hierarchy:
   reference                         ->  here
   ------------------------------------------------------------------
   RayGroup 256-ray packet              one kernel grid instance owns a
-  (64 quads, QuadLevels=3)             PACKET_R=1024-ray (32x32 px) tile:
-                                       each ray component is one (8, 128)
-                                       vreg, so every VPU op runs at 100%
-                                       lane utilization
+  (64 quads, QuadLevels=3)             PACKET_R=4096-ray (64x64 px) tile:
+                                       each ray component is a (32, 128)
+                                       block (4 vregs), amortizing the
+                                       per-packet scalar walk and sync
+                                       stalls over 4x the rays
   RayGroup<sharedOrigin=1> template    camera-fused primary kernel: ray
   specialization + RayGenerator        dirs are generated INSIDE the
   (ray_group.h:74-110,                 kernel from SMEM camera scalars
@@ -19,6 +20,10 @@ kernel design (src/spu/trace.cpp), mapped onto the TPU memory hierarchy:
                                        origin the same way
   per-packet traversal stack           int32 stack in SMEM scratch
   (StackElem[maxDepth+2])              (traverse.cpp:17)
+  RayGroup<sharedOrigin> Moller        shared_rows: per-frame XLA precompute
+  specialization                       of the origin-dependent Moller terms
+                                       (tv x ca, ba x tv, tv.n) per triangle
+                                       -> ~15 VPU ops per ray-tri in-kernel
   32-byte BVH node (tree.h:60-72)      32-byte SMEM node, split tables:
                                        meta i32[2N] + f32 bbox[6N] (no
                                        dequant work in the hot loop)
@@ -42,9 +47,11 @@ table small and push geometry bytes into HBM-streamed leaf blocks where
 the VPU brute-forces them. Capacity ~14k nodes; bigger scenes fall back
 to the jnp path until the two-level scheme lands.
 
-All wavefront IO is component-planar ``(P, 8, 128)`` float32 — AoS (R, 3)
+All wavefront IO is component-planar ``(P, 32, 128)`` float32 — AoS (R, 3)
 arrays would force lane-crossing transposes that cost more than the
-traversal itself (measured 13 ms per 1M rays).
+traversal itself (measured 13 ms per 1M rays). Packet size is a measured
+optimum: 32x32 px (1 vreg) pays ~2x in per-packet walk+sync overhead;
+128x128 px (16 vregs) pays ~1.7x in divergence-amplified intersections.
 
 Triangle HBM layout: ``tris (Tpad, 128) f32`` rows = [a(3), ba(3), ca(3),
 nrm(3), pad(116)] — a full 128-lane row per triangle (Mosaic DMA slices
@@ -64,10 +71,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.vecmath import BIG
 
-RAY_SUB = 8  # packet sublane dim
+RAY_SUB = 32  # packet sublane rows (4 vregs deep)
 RAY_LANE = 128  # packet lane dim
-PACKET_R = RAY_SUB * RAY_LANE  # 1024 rays per packet
-TILE = 32  # camera kernel renders 32x32-pixel packets
+PACKET_R = RAY_SUB * RAY_LANE  # 4096 rays per packet
+TILE = 64  # camera kernel renders 64x64-pixel packets
 STACK_CAP = 96  # maxDepth(64) + slack (reference uses maxDepth+2)
 LEAF_PAD = 64  # leaf DMA granule (rows); builder leaf_size must be <= this
 IVAL_LEAF = 16  # leaf granule of the interval kernels (small leaves: node
@@ -196,6 +203,49 @@ def _tri_cols_slot(ts_ref, slot, r0):
     whole block per access (measured 8x slower)."""
     return [ts_ref[slot, r0 : r0 + 4, j : j + 1][..., None]
             for j in range(12)]
+
+
+@jax.jit
+def shared_rows(tris, origin):
+    """Per-frame shared-origin triangle table.
+
+    For a shared ray origin ``o`` (the camera for primaries,
+    ray_group.h:74-110; the light for shadow rays, scene_inl.h:127-129)
+    every origin-dependent term of the Moller test is a per-TRIANGLE
+    constant: tv = o - a, c1 = tv x ca, c2 = ba x tv, tmul = -(tv . n).
+    Precomputing them once per frame in XLA cuts the in-kernel cost from
+    ~35 to ~15 VPU ops per ray-triangle — the TPU analogue of the
+    reference's RayGroup<sharedOrigin=1> template specialization.
+
+    tris: (Tpad, TRI_ROW) rows [a, ba, ca, n, ...] ->
+    rows [n(0:3), c1(3:6), c2(6:9), tmul(9), 0...].
+    """
+    a = tris[:, 0:3]
+    ba = tris[:, 3:6]
+    ca = tris[:, 6:9]
+    n = tris[:, 9:12]
+    tv = jnp.asarray(origin, jnp.float32)[None, :] - a
+    c1 = jnp.cross(tv, ca)
+    c2 = jnp.cross(ba, tv)
+    tmul = -jnp.sum(tv * n, axis=1, keepdims=True)
+    pad = jnp.zeros((tris.shape[0], TRI_ROW - 10), jnp.float32)
+    return jnp.concatenate([n, c1, c2, tmul, pad], axis=1)
+
+
+def _intersect4_sh(d, cols):
+    """Shared-origin 4-triangle intersection: 9 madds + broadcast tmul
+    (origin terms live in the precomputed table, see shared_rows)."""
+    nx, ny, nz, c1x, c1y, c1z, c2x, c2y, c2z, tm = cols
+    dx, dy, dz = d[0][None], d[1][None], d[2][None]
+    det = dx * nx + dy * ny + dz * nz
+    u = dx * c1x + dy * c1y + dz * c1z
+    v = dx * c2x + dy * c2y + dz * c2z
+    return det, u, v, jnp.broadcast_to(tm, det.shape)
+
+
+def _tri_cols_sh(ts, r0):
+    """Static (4, 1, 1) component slices of a shared-origin leaf block."""
+    return [ts[r0 : r0 + 4, j : j + 1][..., None] for j in range(10)]
 
 
 def _intersect4(o, d, cols):
@@ -548,25 +598,49 @@ def _leaf_dma(tris_hbm, tscratch, sems, slot, first):
     )
 
 
-def _traverse_ival(tbl_ref, box_ref, o, bnds, signs, maxb0,
-                   process_fn, bound_fn,
+def _or_across_rays(acc):
+    """Bitwise-OR an (8, 128) i32 across all rays: log-step lane then
+    sublane rotations; every element ends up holding the union, so one
+    jnp.max read returns it."""
+    s = RAY_LANE // 2
+    while s:
+        acc = acc | pltpu.roll(acc, s, 1)
+        s //= 2
+    s = RAY_SUB // 2
+    while s:
+        acc = acc | pltpu.roll(acc, s, 0)
+        s //= 2
+    return acc
+
+
+def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
+                   lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref):
     """Chunked two-phase interval walk.
 
     Phase A (pure scalar): pop nodes, interval-test children, queue up to
     NBUF leaves - starting each leaf's HBM->VMEM DMA the moment it is
-    found, so the copies overlap the rest of the walk. Phase B (vector):
-    a STATICALLY UNROLLED loop over the ring slots waits each DMA and
-    runs ``process_fn(slot, first, count)``; all VMEM addressing is
-    static. One ``bound_fn()`` reduce per chunk refreshes the scalar
-    distance bound (and doubles as the shadow full-occlusion early exit,
-    traverse.cpp:117-121) - the only vector->scalar sync in the kernel.
+    found, so the copies overlap the rest of the walk. Phase B: ONE
+    vector->scalar sync point per chunk computes (a) per-leaf per-ray
+    slab culls for all queued leaves, OR-packed across rays into a bit
+    per leaf (_or_across_rays) — the per-ray refinement the scalar
+    interval walk cannot do — and (b) the refreshed packet distance
+    bound ``max(lim_fn())`` (doubling as the shadow full-occlusion exit,
+    traverse.cpp:117-121). Both reads happen BEFORE the chunk's
+    intersections are enqueued, so the bound is one chunk stale
+    (conservative, still correct) and the scalar walk of chunk k+1
+    overlaps the VPU intersections of chunk k — the decoupled-
+    access/execute pipelining that replaces the reference's
+    [firstActive, lastActive] narrowing.
 
     Keeping Phase B out of ``lax.cond``-with-carry matters: vector code
     under a carried cond inside the walk loop measured ~8x slower than
     this structure (Mosaic can't branch it cleanly).
     """
     sx, sy, sz = signs
+
+    for i in range(NBUF):  # stale-safe node ids for the batched cull reads
+        lq_ref[i * 3 + 2] = 0
 
     def walk_body(carry):
         sp, nq, maxb = carry
@@ -604,17 +678,29 @@ def _traverse_ival(tbl_ref, box_ref, o, bnds, signs, maxb0,
         sp, nq, _ = jax.lax.while_loop(
             lambda c: (c[0] > 0) & (c[1] < NBUF), walk_body, (sp, 0, maxb)
         )
+        # batched per-leaf culls + stale bound: one sync point per chunk
+        lim = lim_fn()
+        acc = jnp.zeros((RAY_SUB, RAY_LANE), jnp.int32)
+        for i in range(NBUF):
+            nd = lq_ref[i * 3 + 2]
+            lo, hi = _box(box_ref, nd)
+            m = _slab_mask(o, idir, lo, hi, lim)
+            valid = (i < nq).astype(jnp.int32)
+            acc = acc | (jnp.where(m, jnp.int32(1 << i), 0) * valid)
+        bits = jnp.max(_or_across_rays(acc))
+        newb = jnp.max(lim)
         for i in range(NBUF):  # static slots: no dynamic VMEM addressing
 
             @pl.when(i < nq)
-            def _(i=i):
-                first = lq_ref[i * 3]
-                count = lq_ref[i * 3 + 1]
-                nd = lq_ref[i * 3 + 2]
-                _leaf_dma(tris_hbm, tscratch, sems, i, first).wait()
-                process_fn(i, first, count, nd)
+            def _(i=i):  # every started DMA must be waited (slot reuse)
+                _leaf_dma(tris_hbm, tscratch, sems, i,
+                          lq_ref[i * 3]).wait()
 
-        return sp, bound_fn()
+            @pl.when((jax.lax.shift_right_logical(bits, i) & 1) > 0)
+            def _(i=i):
+                process_fn(i, lq_ref[i * 3], lq_ref[i * 3 + 1])
+
+        return sp, newb
 
     root_ok = _ival_test(box_ref, 0, o, bnds, maxb0)
     stack_ref[0] = 0
@@ -628,28 +714,21 @@ def _closest_ival_drain(o, d, idir, box_ref, tscratch,
                         best_ref, bu_ref, bv_ref, tri_ref):
     """Closest-hit leaf processing (VPU, static slot addressing).
 
-    Before intersecting, the leaf's bbox is re-tested per ray against the
-    CURRENT per-ray best (the cull the scalar interval walk cannot do -
-    its bound is a packet max, so one far-exiting ray would otherwise
-    drag every leaf in). One any()-sync per leaf buys skipping the whole
-    16-triangle block."""
+    The per-leaf per-ray cull (against the CURRENT per-ray best) happens
+    batched inside _traverse_ival via lim_fn; process_fn only runs for
+    leaves that survive it."""
 
-    def process_fn(slot, first, count, node):
-        lo, hi = _box(box_ref, node)
-        aug = _slab_any(o, idir, lo, hi, best_ref[:, :])
+    def lim_fn():
+        return best_ref[:, :]
 
-        @pl.when(aug)
-        def _():
-            _leaf_tris(slot, first, count)
-
-    def _leaf_tris(slot, first, count):
+    def process_fn(slot, first, count):
         ts = tscratch.at[slot]
         for blk in range(IVAL_LEAF // 4):
             r0 = blk * 4
 
             @pl.when(r0 < count)
             def _(r0=r0):
-                det, u, v, tmul = _intersect4(o, d, _tri_cols(ts, r0))
+                det, u, v, tmul = _intersect4_sh(d, _tri_cols_sh(ts, r0))
                 duv = det - u - v
                 side = (jnp.maximum(u, jnp.maximum(v, duv)) <= 0.0) | (
                     jnp.minimum(u, jnp.minimum(v, duv)) >= 0.0
@@ -673,33 +752,24 @@ def _closest_ival_drain(o, d, idir, box_ref, tscratch,
                 bu_ref[:, :] = jnp.where(upd, sel_u, bu_ref[:, :])
                 bv_ref[:, :] = jnp.where(upd, sel_v, bv_ref[:, :])
 
-    def bound_fn():
-        return jnp.max(best_ref[:, :])
-
-    return process_fn, bound_fn
+    return lim_fn, process_fn
 
 
 def _shadow_ival_drain(o, d, idir, box_ref, limit, tscratch, blocked_ref):
-    """Any-hit leaf processing + remaining-open-tmax bound, with the
-    same per-leaf per-ray cull (open rays only)."""
+    """Any-hit leaf processing; the open-rays-only limit doubles as the
+    batched per-leaf cull and the full-occlusion early-exit bound."""
 
-    def process_fn(slot, first, count, node):
-        lo, hi = _box(box_ref, node)
-        open_lim = jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit)
-        aug = _slab_any(o, idir, lo, hi, open_lim)
+    def lim_fn():
+        return jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit)
 
-        @pl.when(aug)
-        def _():
-            _leaf_tris(slot, first, count)
-
-    def _leaf_tris(slot, first, count):
+    def process_fn(slot, first, count):
         ts = tscratch.at[slot]
         for blk in range(IVAL_LEAF // 4):
             r0 = blk * 4
 
             @pl.when(r0 < count)
             def _(r0=r0):
-                det, u, v, tmul = _intersect4(o, d, _tri_cols(ts, r0))
+                det, u, v, tmul = _intersect4_sh(d, _tri_cols_sh(ts, r0))
                 row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
                 occ = (
                     (jnp.minimum(u, v) >= 0.0)
@@ -711,10 +781,7 @@ def _shadow_ival_drain(o, d, idir, box_ref, limit, tscratch, blocked_ref):
                 occ_any = jnp.max(jnp.where(occ, 1.0, 0.0), axis=0)
                 blocked_ref[:, :] = jnp.maximum(blocked_ref[:, :], occ_any)
 
-    def bound_fn():
-        return jnp.max(jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit))
-
-    return process_fn, bound_fn
+    return lim_fn, process_fn
 
 
 def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
@@ -773,10 +840,10 @@ def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
     bv_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
     tri_ref[:, :] = jnp.full((RAY_SUB, RAY_LANE), -1, jnp.int32)
 
-    process_fn, bound_fn = _closest_ival_drain(
+    lim_fn, process_fn = _closest_ival_drain(
         o, d, idir, box_ref, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
-    _traverse_ival(tbl_ref, box_ref, o, bnds, signs, jnp.max(t_exit),
-                   process_fn, bound_fn,
+    _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, jnp.max(t_exit),
+                   lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref)
 
     dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
@@ -804,10 +871,10 @@ def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref,
     limit = jnp.where(active, tmax, -BIG)
     maxb0 = jnp.max(limit)
 
-    process_fn, bound_fn = _shadow_ival_drain(o, d, idir, box_ref, limit,
-                                               tscratch, blocked_ref)
-    _traverse_ival(tbl_ref, box_ref, o, bnds, signs, maxb0,
-                   process_fn, bound_fn,
+    lim_fn, process_fn = _shadow_ival_drain(o, d, idir, box_ref, limit,
+                                            tscratch, blocked_ref)
+    _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
+                   lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref)
     out_ref[0] = blocked_ref[:, :]
 
@@ -952,7 +1019,8 @@ def camera_trace(scene, camera, width: int, height: int):
 
     if scene.leaf_max <= IVAL_LEAF:
         dist, u, v, tri, dx, dy, dz = _run_camera_ival(
-            scene.pk_meta, scene.pk_box, cam, scene.pk_tris, p
+            scene.pk_meta, scene.pk_box, cam,
+            shared_rows(scene.pk_tris, camera.pos), p
         )
         f = lambda a: a.reshape(-1)
         return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
@@ -1075,7 +1143,8 @@ def any_hit_shared(scene, light_pos, d3, tmax):
     if scene.leaf_max <= IVAL_LEAF:
         out = _run_shadow_ival(
             scene.pk_meta, scene.pk_box, orig,
-            pk(dx), pk(dy), pk(dz), pk(tm), scene.pk_tris,
+            pk(dx), pk(dy), pk(dz), pk(tm),
+            shared_rows(scene.pk_tris, jnp.asarray(light_pos, jnp.float32)),
         )
         return out.reshape(-1)[:n] > 0.0
     signs = _signs_of(pk(dx)[:, 0, 0], pk(dy)[:, 0, 0], pk(dz)[:, 0, 0])

@@ -107,17 +107,17 @@ def test_ival_camera_trace_matches_reference(rng):
     DMA ring) against the jnp reference, full 64x64 frame of primary rays
     (leaf_size <= IVAL_LEAF selects the ival path in camera_trace)."""
     from snail_tpu.core.types import Camera
-    from snail_tpu.ops.traverse_pallas import IVAL_LEAF, camera_trace
+    from snail_tpu.ops.traverse_pallas import IVAL_LEAF, TILE, camera_trace
     from snail_tpu.render.raygen import primary_rays, tile_rays
 
     scene = _random_scene(rng, n=300)
     assert scene.leaf_max <= IVAL_LEAF
     cam = Camera.look_at(pos=(9.0, 7.0, 11.0), target=(0.0, 0.0, 0.0))
-    w = h = 64
+    w = h = TILE
     dist, u, v, tri, dx, dy, dz = camera_trace(scene, cam, w, h)
 
     origin, dirs = primary_rays(cam, w, h)
-    d = tile_rays(dirs, 32, 32).reshape(-1, 3)
+    d = tile_rays(dirs, TILE, TILE).reshape(-1, 3)
     o = jnp.broadcast_to(origin, d.shape)
     tmax = jnp.full(d.shape[:1], BIG, jnp.float32)
     rd, rt, rb = dispatch.closest_hit(

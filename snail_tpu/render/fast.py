@@ -51,15 +51,15 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
     Returns color components (r, g, b)."""
     hit = (dist > 0.0) & (dist < BIG)
     st = jnp.where(hit, tri, 0)
-    # One 64-B row gather per hit (sh_pack) instead of 16 scattered scalar
-    # gathers — the ShTriangle one-cache-line fetch (triangle.h:181-230).
-    sh = _take(scene.sh_pack, st)  # (R, 16)
+    # ONE 128-B row gather per hit: shading deltas + the denormalized
+    # material row together (the ShTriangle one-cache-line fetch,
+    # triangle.h:181-230, widened — row gathers are the XLA bottleneck).
+    sh = _take(scene.sh_pack, st)  # (R, 32)
     nx = sh[:, 0] + sh[:, 3] * u + sh[:, 6] * v
     ny = sh[:, 1] + sh[:, 4] * u + sh[:, 7] * v
     nz = sh[:, 2] + sh[:, 5] * u + sh[:, 8] * v
 
-    mat = jnp.where(hit, sh[:, 15].astype(jnp.int32), 0)
-    mp = _take(scene.mat_pack, mat)  # (R, 16)
+    mp = sh[:, 16:32]  # material row, no second gather
     kdr, kdg, kdb = mp[:, 0], mp[:, 1], mp[:, 2]
     ksr, ksg, ksb = mp[:, 3], mp[:, 4], mp[:, 5]
 

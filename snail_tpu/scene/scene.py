@@ -145,16 +145,6 @@ def make_traced_scene(
         for k in range(width)
     ) + (dev(g.mat_id),)
 
-    t = len(g.a)
-    sh_pack = np.zeros((t, 16), np.float32)
-    sh_pack[:, 0:3] = g.n0
-    sh_pack[:, 3:6] = g.n_e1
-    sh_pack[:, 6:9] = g.n_e2
-    sh_pack[:, 9:11] = g.uv0
-    sh_pack[:, 11:13] = g.uv_e1
-    sh_pack[:, 13:15] = g.uv_e2
-    sh_pack[:, 15] = g.mat_id.astype(np.float32)
-
     m = len(materials.diffuse)
     mat_pack = np.zeros((m, 16), np.float32)
     mat_pack[:, 0:3] = materials.diffuse
@@ -165,6 +155,21 @@ def make_traced_scene(
     mat_pack[:, 9] = materials.dissolve_tex.astype(np.float32)
     mat_pack[:, 10:13] = materials.emissive
     mat_pack[:, 13] = materials.flags.astype(np.float32)
+
+    t = len(g.a)
+    # 32-wide rows: shading deltas (0:16) + the triangle's material row
+    # DENORMALIZED into 16:32, so the fast path fetches everything a hit
+    # needs in ONE row gather (the ShTriangle one-fetch idea taken one
+    # step further; 1M-row gathers are the XLA-side bottleneck on TPU).
+    sh_pack = np.zeros((t, 32), np.float32)
+    sh_pack[:, 0:3] = g.n0
+    sh_pack[:, 3:6] = g.n_e1
+    sh_pack[:, 6:9] = g.n_e2
+    sh_pack[:, 9:11] = g.uv0
+    sh_pack[:, 11:13] = g.uv_e1
+    sh_pack[:, 13:15] = g.uv_e2
+    sh_pack[:, 15] = g.mat_id.astype(np.float32)
+    sh_pack[:, 16:32] = mat_pack[np.clip(g.mat_id, 0, m - 1)]
 
     return TracedScene(
         node_lo=dev(bvh.node_lo),

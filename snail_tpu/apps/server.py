@@ -1,0 +1,134 @@
+"""Render server: owns the TPU devices, serves frames to a TCP client.
+
+Rebuild of the reference's server+node pair (server.cpp:192-429,
+node.cpp:210-390). Where the reference splits the image into 16x64 parts
+and round-robins them over MPI ranks (DivideImage server.cpp:178-190),
+here XLA shards the frame over the local device mesh
+(snail_tpu.parallel.mesh) and the server compresses finished 64x64 parts
+with the native codec and streams them to the client — the quicklz tile
+relay (server.cpp:389-401) without the MPI hop.
+
+Run: ``python -m snail_tpu.apps.server [--port 20002] [--scene-dir DIR]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import time
+
+import numpy as np
+
+from ..core.types import Camera, Light, RenderOpts
+from ..net import protocol
+from ..net.codec import encode_tile
+from ..render.renderer import render_frame, to_rgb8
+from ..scene.scene import load_scene
+from ..utils.stats import TreeStats
+
+
+def _opts_from_gvals(gvals: dict) -> RenderOpts:
+    """gVals (rtbase.h:31, F-key toggles broadcast per frame,
+    client.cpp:283-292) -> RenderOpts. Known slots follow the observed
+    semantics in SURVEY.md §5: [2]=stats, [4]=no-shading distance view,
+    [5]=reflections, [9]=supersampling."""
+    return RenderOpts(
+        stats=bool(gvals.get("2", gvals.get("stats", False))),
+        shading=not gvals.get("4", gvals.get("no_shading", False)),
+        reflections=bool(gvals.get("5", gvals.get("reflections", True))),
+        supersample=bool(gvals.get("9", gvals.get("supersample", False))),
+        shadows=bool(gvals.get("shadows", True)),
+        transparency=bool(gvals.get("transparency", True)),
+        textures=bool(gvals.get("textures", True)),
+    )
+
+
+def _split_parts(rgb8: np.ndarray):
+    """Cut the frame into PART_W x PART_H tiles + encode (DivideImage,
+    server.cpp:178-190; per-part headers compression.h:6-9)."""
+    h, w, _ = rgb8.shape
+    pw, ph = protocol.PART_W, protocol.PART_H
+    for y in range(0, h, ph):
+        for x in range(0, w, pw):
+            tile = rgb8[y:y + ph, x:x + pw]
+            cid, raw_len, payload = encode_tile(tile)
+            yield x, y, tile.shape[1], tile.shape[0], cid, raw_len, payload
+
+
+def serve_connection(conn: socket.socket, scene_dir: str,
+                     cache_dir: str = "dump") -> None:
+    """One client session: LoadNewModel handshake then the frame loop
+    (server.cpp:217, 356-418)."""
+    msg = protocol.recv_json(conn)
+    assert msg["type"] == "load_model", msg
+    path = msg["name"]
+    if not os.path.isabs(path):
+        path = os.path.join(scene_dir, path)
+    resx, resy = msg["resx"], msg["resy"]
+
+    t0 = time.perf_counter()
+    scene = load_scene(path, cache_dir=cache_dir,
+                       flip_normals=msg.get("flip_normals", True))
+    build_time = time.perf_counter() - t0
+    protocol.send_json(conn, {"type": "model_ready",
+                              "build_time": build_time,
+                              "num_tris": int(scene.num_tris)})
+
+    while True:
+        req = protocol.recv_json(conn)
+        if req.get("finish") or req["type"] == "finish":
+            break
+        cam = Camera.look_at(pos=tuple(req["cam_pos"]),
+                             target=tuple(req["cam_target"]))
+        lights = req.get("lights") or []
+        if lights:
+            scene = scene.with_lights(Light.stack(
+                [Light.make(tuple(l["pos"]), tuple(l["color"]),
+                            float(l["radius"])) for l in lights]))
+        opts = _opts_from_gvals(req.get("gvals", {}))
+
+        t0 = time.perf_counter()
+        img = render_frame(scene, cam, resx, resy, opts)
+        rgb8 = to_rgb8(img)
+        render_ms = (time.perf_counter() - t0) * 1e3
+
+        protocol.send_parts(conn, _split_parts(rgb8))
+        stats = TreeStats(rays=resx * resy * (1 + len(lights)))
+        protocol.send_json(conn, {
+            "type": "stats", "render_ms": render_ms,
+            "build_ms": build_time * 1e3, **stats.to_dict(),
+        })
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="snail_tpu render server")
+    ap.add_argument("--port", type=int, default=protocol.DEFAULT_PORT)
+    ap.add_argument("--scene-dir", default="/root/reference/scenes")
+    ap.add_argument("--cache-dir", default="dump")
+    ap.add_argument("--once", action="store_true",
+                    help="serve one connection then exit (tests)")
+    args = ap.parse_args(argv)
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("0.0.0.0", args.port))
+    srv.listen(1)
+    print(f"[server] listening on :{args.port}", flush=True)
+    while True:  # survive client disconnects (server.cpp:210 outer loop)
+        conn, addr = srv.accept()
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        print(f"[server] client {addr}", flush=True)
+        try:
+            serve_connection(conn, args.scene_dir, args.cache_dir)
+        except (ConnectionError, BrokenPipeError) as e:
+            print(f"[server] client dropped: {e}", flush=True)
+        finally:
+            conn.close()
+        if args.once:
+            break
+    srv.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,15 @@ class Light:
         radius = jnp.atleast_1d(jnp.asarray(radius, jnp.float32))
         return Light(pos=pos, color=color, radius=radius)
 
+    @staticmethod
+    def stack(lights: list) -> "Light":
+        """Concatenate several Light records into one multi-light set."""
+        return Light(
+            pos=jnp.concatenate([l.pos for l in lights]),
+            color=jnp.concatenate([l.color for l in lights]),
+            radius=jnp.concatenate([l.radius for l in lights]),
+        )
+
     def __len__(self):
         return self.pos.shape[0]
 

@@ -44,6 +44,9 @@ class TreeStats:
     def reset(self) -> None:
         self.__init__()
 
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
 
 class Timer:
     """Context-manager timer slot (the reference's 8 timer slots,

@@ -61,11 +61,20 @@ def serve_connection(conn: socket.socket, scene_dir: str,
     """One client session: LoadNewModel handshake then the frame loop
     (server.cpp:217, 356-418)."""
     msg = protocol.recv_json(conn)
-    assert msg["type"] == "load_model", msg
-    path = msg["name"]
-    if not os.path.isabs(path):
-        path = os.path.join(scene_dir, path)
-    resx, resy = msg["resx"], msg["resy"]
+    if msg.get("type") != "load_model":
+        protocol.send_json(conn, {"type": "error",
+                                  "error": "expected load_model"})
+        raise protocol.ProtocolError(f"bad handshake: {msg.get('type')!r}")
+    # Scene names resolve strictly inside scene_dir: a client-supplied
+    # absolute or ..-escaping path must not become an arbitrary file read.
+    name = msg["name"]
+    base = os.path.realpath(scene_dir)
+    path = os.path.realpath(os.path.join(base, name))
+    if not (path == base or path.startswith(base + os.sep)):
+        protocol.send_json(conn, {"type": "error",
+                                  "error": "scene outside scene_dir"})
+        raise protocol.ProtocolError(f"scene path escape: {name!r}")
+    resx, resy = int(msg["resx"]), int(msg["resy"])
 
     t0 = time.perf_counter()
     scene = load_scene(path, cache_dir=cache_dir,
@@ -104,6 +113,9 @@ def serve_connection(conn: socket.socket, scene_dir: str,
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description="snail_tpu render server")
     ap.add_argument("--port", type=int, default=protocol.DEFAULT_PORT)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (loopback by default; pass 0.0.0.0 "
+                         "explicitly to expose the unauthenticated server)")
     ap.add_argument("--scene-dir", default="/root/reference/scenes")
     ap.add_argument("--cache-dir", default="dump")
     ap.add_argument("--once", action="store_true",
@@ -112,7 +124,7 @@ def main(argv=None) -> None:
 
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    srv.bind(("0.0.0.0", args.port))
+    srv.bind((args.host, args.port))
     srv.listen(1)
     print(f"[server] listening on :{args.port}", flush=True)
     while True:  # survive client disconnects (server.cpp:210 outer loop)

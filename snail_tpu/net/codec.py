@@ -23,7 +23,6 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "codec.cpp")
-_SO = os.path.join(_REPO, "native", "libsnailcodec.so")
 
 CODEC_RAW = 0
 CODEC_LZ = 1
@@ -33,19 +32,35 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
 
+def _so_path() -> str:
+    """Build-cache path keyed on a hash of the source, so a stale or
+    tampered binary can never shadow the current codec.cpp (mtimes are
+    unreliable after checkout). Never a repo file — .so stays untracked."""
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "snail_tpu",
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"libsnailcodec-{h}.so")
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_tried
     if _lib_tried:
         return _lib
     _lib_tried = True
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        so = _so_path()
+        if not os.path.exists(so):
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["g++", "-O2", "-shared", "-fPIC", "-o", so, _SRC],
                 check=True, capture_output=True,
             )
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         for fn in ("snail_compress", "snail_decompress"):
             getattr(lib, fn).restype = ctypes.c_long
             getattr(lib, fn).argtypes = [

@@ -24,6 +24,14 @@ import numpy as np
 
 DEFAULT_PORT = 20002  # client.cpp:187
 
+# Hard cap on any length-prefixed message/payload: a malicious or corrupt
+# u32 prefix must not be able to force a multi-GB allocation.
+MAX_MSG = 64 * 1024 * 1024
+
+
+class ProtocolError(Exception):
+    pass
+
 # The reference serves blockWidth x blockHeight = 16 x 64 parts
 # (rtbase_math.h:30-33). Our kernels shade 64 x 64 packets, so parts
 # default to 64 x 64 (one packet per part).
@@ -52,6 +60,8 @@ def send_json(sock: socket.socket, obj: dict) -> None:
 
 def recv_json(sock: socket.socket) -> dict:
     (n,) = struct.unpack("<I", _recv_exact(sock, 4))
+    if n > MAX_MSG:
+        raise ProtocolError(f"message length {n} exceeds cap {MAX_MSG}")
     return json.loads(_recv_exact(sock, n))
 
 
@@ -107,8 +117,12 @@ def recv_parts(sock: socket.socket):
         (n,) = struct.unpack("<I", _recv_exact(sock, 4))
         if n == 0:
             return
+        if n > MAX_MSG:
+            raise ProtocolError(f"part length {n} exceeds cap {MAX_MSG}")
         hdr = _recv_exact(sock, PART_HDR.size)
         x, y, w, h, cid, raw_len = PART_HDR.unpack(hdr)
+        if raw_len > MAX_MSG or raw_len < 0:
+            raise ProtocolError(f"part raw_len {raw_len} exceeds cap")
         yield x, y, w, h, cid, raw_len, _recv_exact(sock, n)
 
 

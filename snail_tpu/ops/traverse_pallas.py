@@ -61,6 +61,7 @@ stays in bounds.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -71,15 +72,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.vecmath import BIG
 
-RAY_SUB = 32  # packet sublane rows (4 vregs deep)
+# Tunables (env-overridable for perf scans; defaults are the measured
+# optimum on feline 1024^2, see tools/scan_params.py).
+RAY_SUB = int(os.environ.get("SNAIL_RAY_SUB", 32))  # packet sublane rows
 RAY_LANE = 128  # packet lane dim
-PACKET_R = RAY_SUB * RAY_LANE  # 4096 rays per packet
-TILE = 64  # camera kernel renders 64x64-pixel packets
+PACKET_R = RAY_SUB * RAY_LANE  # rays per packet
+TILE = {8: 32, 32: 64, 128: 128}[RAY_SUB]  # square pixel tile per packet
 STACK_CAP = 96  # maxDepth(64) + slack (reference uses maxDepth+2)
 LEAF_PAD = 64  # leaf DMA granule (rows); builder leaf_size must be <= this
-IVAL_LEAF = 16  # leaf granule of the interval kernels (small leaves: node
-# visits are free on the scalar core, so deeper trees + tighter culls win)
-NBUF = 8  # leaf DMA ring slots (latency hiding, spu/base.h:85-135 analogue)
+IVAL_LEAF = int(os.environ.get("SNAIL_IVAL_LEAF", 16))  # interval-kernel
+# leaf granule; the counters (tools/measure_counters.py) show the walk is
+# scalar-bound, so leaf size trades scalar node visits vs VPU tri tests
+NBUF = int(os.environ.get("SNAIL_NBUF", 8))  # leaf DMA ring slots
+# (latency hiding, spu/base.h:85-135 analogue); also the chunk size of the
+# one vector<->scalar sync, so bigger rings mean fewer sync stalls
 TRI_ROW = 128  # floats per triangle row (lane-aligned for DMA slicing)
 SMEM_NODE_CAP = 24576  # 32 B/node; box f32[6N]+meta i32[2N] ~ 768 KB SMEM
 
@@ -541,7 +547,7 @@ def _shadow_kernel_g(tbl_ref, box_ref, signs_ref,
 # spu/base.h:85-135) so HBM latency overlaps both the scalar walk and the
 # VPU intersection of earlier leaves. Measured on feline 1024^2 the
 # interval walk visits only ~7% more nodes / ~18% more triangles than the
-# exact per-ray walk (32x32-pixel packets are that coherent).
+# exact per-ray walk (64x64-pixel packets are that coherent).
 #
 # The one scalar<->vector sync left is per LEAF DRAIN: a max-reduce of the
 # remaining useful distance (closest hit: max over rays of best; shadow:
@@ -615,7 +621,8 @@ def _or_across_rays(acc):
 
 def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                    lim_fn, process_fn,
-                   tris_hbm, tscratch, sems, stack_ref, lq_ref):
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref,
+                   stats_ref=None):
     """Chunked two-phase interval walk.
 
     Phase A (pure scalar): pop nodes, interval-test children, queue up to
@@ -636,8 +643,18 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
     Keeping Phase B out of ``lax.cond``-with-carry matters: vector code
     under a carried cond inside the walk loop measured ~8x slower than
     this structure (Mosaic can't branch it cleanly).
+
+    ``stats_ref`` (optional SMEM i32 out, len >= 5) receives real traversal
+    counters — the rebuild of TreeStats' in-kernel counting
+    (reference src/tree_stats.h:36-130): [0] nodes popped, [1] leaves
+    enqueued, [2] leaves processed after the per-ray cull, [3] triangles
+    intersected (16-ray-block granularity), [4] sync chunks. Increments are
+    compiled in only when the ref is present, so the hot path pays nothing.
     """
     sx, sy, sz = signs
+    if stats_ref is not None:
+        for i in range(8):
+            stats_ref[0, 0, i] = 0
 
     for i in range(NBUF):  # stale-safe node ids for the batched cull reads
         lq_ref[i * 3 + 2] = 0
@@ -647,6 +664,8 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
         node = stack_ref[sp - 1]
         sp = sp - 1
         child, count, axis, fnode = _meta(tbl_ref, node)
+        if stats_ref is not None:
+            stats_ref[0, 0, 0] = stats_ref[0, 0, 0] + 1
 
         def leaf_case(args):
             sp, nq = args
@@ -654,6 +673,8 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
             lq_ref[nq * 3] = child
             lq_ref[nq * 3 + 1] = count
             lq_ref[nq * 3 + 2] = node
+            if stats_ref is not None:
+                stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
             return sp, nq + 1
 
         def inner_case(args):
@@ -689,6 +710,8 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
             acc = acc | (jnp.where(m, jnp.int32(1 << i), 0) * valid)
         bits = jnp.max(_or_across_rays(acc))
         newb = jnp.max(lim)
+        if stats_ref is not None:
+            stats_ref[0, 0, 4] = stats_ref[0, 0, 4] + 1
         for i in range(NBUF):  # static slots: no dynamic VMEM addressing
 
             @pl.when(i < nq)
@@ -699,6 +722,9 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
             @pl.when((jax.lax.shift_right_logical(bits, i) & 1) > 0)
             def _(i=i):
                 process_fn(i, lq_ref[i * 3], lq_ref[i * 3 + 1])
+                if stats_ref is not None:
+                    stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + 1
+                    stats_ref[0, 0, 3] = stats_ref[0, 0, 3] + lq_ref[i * 3 + 1]
 
         return sp, newb
 
@@ -784,11 +810,11 @@ def _shadow_ival_drain(o, d, idir, box_ref, limit, tscratch, blocked_ref):
     return lim_fn, process_fn
 
 
-def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
-                        dist_ref, u_ref, v_ref, tri_out,
-                        dx_ref, dy_ref, dz_ref,
-                        best_ref, bu_ref, bv_ref, tri_ref,
-                        tscratch, stack_ref, lq_ref, sems):
+def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
+                      dist_ref, u_ref, v_ref, tri_out,
+                      dx_ref, dy_ref, dz_ref,
+                      best_ref, bu_ref, bv_ref, tri_ref,
+                      tscratch, stack_ref, lq_ref, sems, stats_ref):
     """Primary rays: camera-fused raygen + decoupled interval traversal.
 
     cam layout as _camera_kernel (f32[16])."""
@@ -844,7 +870,7 @@ def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
         o, d, idir, box_ref, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
     _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, jnp.max(t_exit),
                    lim_fn, process_fn,
-                   tris_hbm, tscratch, sems, stack_ref, lq_ref)
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref, stats_ref)
 
     dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
     u_ref[0] = bu_ref[:, :]
@@ -855,10 +881,35 @@ def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
     dz_ref[0] = dz
 
 
-def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref,
-                        dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
-                        out_ref, blocked_ref,
+def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
+                        dist_ref, u_ref, v_ref, tri_out,
+                        dx_ref, dy_ref, dz_ref,
+                        best_ref, bu_ref, bv_ref, tri_ref,
                         tscratch, stack_ref, lq_ref, sems):
+    _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
+                      dist_ref, u_ref, v_ref, tri_out,
+                      dx_ref, dy_ref, dz_ref,
+                      best_ref, bu_ref, bv_ref, tri_ref,
+                      tscratch, stack_ref, lq_ref, sems, None)
+
+
+def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, tris_hbm,
+                              dist_ref, u_ref, v_ref, tri_out,
+                              dx_ref, dy_ref, dz_ref, st_ref,
+                              best_ref, bu_ref, bv_ref, tri_ref,
+                              tscratch, stack_ref, lq_ref, sems):
+    """Counter-instrumented variant (TreeStats, tree_stats.h:36-130)."""
+    _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
+                      dist_ref, u_ref, v_ref, tri_out,
+                      dx_ref, dy_ref, dz_ref,
+                      best_ref, bu_ref, bv_ref, tri_ref,
+                      tscratch, stack_ref, lq_ref, sems, st_ref)
+
+
+def _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
+                      dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                      out_ref, blocked_ref,
+                      tscratch, stack_ref, lq_ref, sems, stats_ref):
     """Shadow any-hit from the shared light origin, interval traversal."""
     o = (orig_ref[0], orig_ref[1], orig_ref[2])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
@@ -875,8 +926,28 @@ def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref,
                                             tscratch, blocked_ref)
     _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                    lim_fn, process_fn,
-                   tris_hbm, tscratch, sems, stack_ref, lq_ref)
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref, stats_ref)
     out_ref[0] = blocked_ref[:, :]
+
+
+def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref,
+                        dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                        out_ref, blocked_ref,
+                        tscratch, stack_ref, lq_ref, sems):
+    _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
+                      dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                      out_ref, blocked_ref,
+                      tscratch, stack_ref, lq_ref, sems, None)
+
+
+def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref,
+                              dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                              out_ref, st_ref, blocked_ref,
+                              tscratch, stack_ref, lq_ref, sems):
+    _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
+                      dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                      out_ref, blocked_ref,
+                      tscratch, stack_ref, lq_ref, sems, st_ref)
 
 
 def _ival_scratches(extra_vec: int):
@@ -923,6 +994,55 @@ def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=_blk(),
         out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _ival_scratches(0)
+        ),
+        interpret=_interpret(),
+    )(meta, box, orig, dx, dy, dz, tm, tris)
+
+
+def _stats_spec():
+    return pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _run_camera_ival_stats(meta, box, cam, tris, p):
+    return pl.pallas_call(
+        _camera_ival_kernel_stats,
+        grid=(p,),
+        in_specs=[_smem(), _smem(), _smem(),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 7 + [_stats_spec()],
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, 1, 8), jnp.int32)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _ival_scratches(0)
+        ),
+        interpret=_interpret(),
+    )(meta, box, cam, tris)
+
+
+@jax.jit
+def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
+    p = dx.shape[0]
+    return pl.pallas_call(
+        _shadow_ival_kernel_stats,
+        grid=(p,),
+        in_specs=[_smem(), _smem(), _smem()] + [_blk()] * 4
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk(), _stats_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((p, 1, 8), jnp.int32),
+        ],
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(0)
@@ -990,21 +1110,9 @@ def _run_camera(meta, box, cam, signs, tris, p):
     return outs
 
 
-def camera_trace(scene, camera, width: int, height: int):
-    """Fused raygen + closest hit for a full frame of primary rays.
-
-    Returns flat (R,) arrays: dist, u, v, tri, dx, dy, dz in 32x32-tile
-    packet order (use :func:`packet_order_to_image`). Requires
-    width % 32 == height % 32 == 0.
-
-    Scenes built with leaf_size <= IVAL_LEAF take the decoupled
-    interval-traversal kernel; fatter-leaf scenes fall back to the
-    vector-culled kernel."""
-    assert width % TILE == 0 and height % TILE == 0, (width, height)
-    tiles_x = width // TILE
-    p = tiles_x * (height // TILE)
-
-    cam = jnp.concatenate([
+def _cam_vec(camera, width, height, tiles_x):
+    """SMEM camera scalar vector (layout documented on _camera_kernel)."""
+    return jnp.concatenate([
         camera.right,
         camera.up,
         camera.front * camera.plane_dist,
@@ -1016,6 +1124,22 @@ def camera_trace(scene, camera, width: int, height: int):
             jnp.float32(tiles_x),
         ]),
     ]).astype(jnp.float32)
+
+
+def camera_trace(scene, camera, width: int, height: int):
+    """Fused raygen + closest hit for a full frame of primary rays.
+
+    Returns flat (R,) arrays: dist, u, v, tri, dx, dy, dz in TILE x TILE
+    (64x64) tile packet order. Requires width and height to be multiples
+    of TILE.
+
+    Scenes built with leaf_size <= IVAL_LEAF take the decoupled
+    interval-traversal kernel; fatter-leaf scenes fall back to the
+    vector-culled kernel."""
+    assert width % TILE == 0 and height % TILE == 0, (width, height)
+    tiles_x = width // TILE
+    p = tiles_x * (height // TILE)
+    cam = _cam_vec(camera, width, height, tiles_x)
 
     if scene.leaf_max <= IVAL_LEAF:
         dist, u, v, tri, dx, dy, dz = _run_camera_ival(
@@ -1042,6 +1166,47 @@ def camera_trace(scene, camera, width: int, height: int):
     )
     f = lambda a: a.reshape(-1)
     return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
+
+
+def camera_trace_stats(scene, camera, width: int, height: int):
+    """Counter-instrumented :func:`camera_trace` (interval path only).
+
+    Returns (dist, u, v, tri, dx, dy, dz, stats) where stats is (P, 8)
+    int32 per-packet counters: [nodes, leaves_enqueued, leaves_processed,
+    tris_tested, chunks, 0, 0, 0] — real in-kernel measurements, the
+    TreeStats rebuild (reference src/tree_stats.h:36-130)."""
+    assert width % TILE == 0 and height % TILE == 0, (width, height)
+    assert scene.leaf_max <= IVAL_LEAF, "stats path needs interval kernels"
+    tiles_x = width // TILE
+    p = tiles_x * (height // TILE)
+    cam = _cam_vec(camera, width, height, tiles_x)
+    out = _run_camera_ival_stats(
+        scene.pk_meta, scene.pk_box, cam,
+        shared_rows(scene.pk_tris, camera.pos), p
+    )
+    dist, u, v, tri, dx, dy, dz, stats = out
+    f = lambda a: a.reshape(-1)
+    return (f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz),
+            stats.reshape(p, 8))
+
+
+def any_hit_shared_stats(scene, light_pos, d3, tmax):
+    """Counter-instrumented :func:`any_hit_shared` (interval path only).
+
+    Returns (blocked bool (R,), stats (P, 8) int32)."""
+    assert scene.leaf_max <= IVAL_LEAF
+    dx, n = _pad_flat(d3[0], 1.0)
+    dy, _ = _pad_flat(d3[1], 1.0)
+    dz, _ = _pad_flat(d3[2], 1.0)
+    tm, _ = _pad_flat(tmax, -BIG)
+    orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
+    pk = _pk
+    out, stats = _run_shadow_ival_stats(
+        scene.pk_meta, scene.pk_box, orig,
+        pk(dx), pk(dy), pk(dz), pk(tm),
+        shared_rows(scene.pk_tris, jnp.asarray(light_pos, jnp.float32)),
+    )
+    return out.reshape(-1)[:n] > 0.0, stats.reshape(-1, 8)
 
 
 @jax.jit

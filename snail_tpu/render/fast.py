@@ -2,7 +2,8 @@
 
 Same integrator semantics as :mod:`snail_tpu.render.integrator` (the
 rebuild of Scene::RayTrace, reference src/scene_inl.h:169-496) but every
-wavefront quantity is a flat (R,) float32 array in 32x32-pixel packet
+wavefront quantity is a flat (R,) float32 array in TILE x TILE (64x64)
+pixel packet
 order, so nothing ever crosses lanes:
 
 - primary rays come straight out of the camera-fused Pallas kernel
@@ -219,7 +220,8 @@ def render_frame_fast(scene, camera: Camera, width: int, height: int,
                       opts: RenderOpts = RenderOpts()):
     """Full-frame packed Whitted render. Returns [H, W, 3] float32.
 
-    Requires width/height multiples of 32 and a pallas-packed scene."""
+    Requires width/height multiples of TILE (64) and a pallas-packed
+    scene."""
     dist, u, v, tri, dx, dy, dz = camera_trace(scene, camera, width, height)
 
     if not opts.shading:

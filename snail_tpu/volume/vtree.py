@@ -92,50 +92,83 @@ def _sample(vol, p, shape):
     return c0 * (1 - fz) + c1 * fz
 
 
-def _brick_lookup(brick, p, shape):
+def _cell_lookup(table, p, shape, cell):
     d, h, w = shape
-    iz = jnp.clip((p[:, 0] / BRICK).astype(jnp.int32), 0, d // BRICK - 1)
-    iy = jnp.clip((p[:, 1] / BRICK).astype(jnp.int32), 0, h // BRICK - 1)
-    ix = jnp.clip((p[:, 2] / BRICK).astype(jnp.int32), 0, w // BRICK - 1)
-    return brick[iz, iy, ix]
+    iz = jnp.clip((p[:, 0] / cell).astype(jnp.int32), 0, (d + cell - 1) // cell - 1)
+    iy = jnp.clip((p[:, 1] / cell).astype(jnp.int32), 0, (h + cell - 1) // cell - 1)
+    ix = jnp.clip((p[:, 2] / cell).astype(jnp.int32), 0, (w + cell - 1) // cell - 1)
+    return table[iz, iy, ix]
+
+
+def _exit_dist(p, dirn, cell):
+    """Distance along dirn from p to the exit plane of its ``cell``-voxel
+    grid cell, plus an epsilon so the next step lands inside the neighbor
+    (the reference computes exact per-node t intervals, vtree.cpp:147-181)."""
+    ib = jnp.floor(p / cell)
+    nxt = (ib + (dirn > 0.0)) * cell
+    safe = jnp.where(jnp.abs(dirn) < 1e-9,
+                     jnp.where(dirn >= 0, 1e-9, -1e-9), dirn)
+    tax = jnp.where(jnp.abs(dirn) < 1e-9, 1e30, (nxt - p) / safe)
+    return jnp.maximum(tax.min(axis=1), 0.0) + 1e-2
 
 
 @partial(jax.jit, static_argnames=("shape", "mode", "max_steps"))
-def _march(vol, brick_max, o, dirn, t0, t1, iso, shape, mode: str,
-           max_steps: int):
-    """Vectorized march with brick skipping. o/dirn in voxel space [R,3]
-    (zyx); t in voxel units."""
+def _march(vol, brick_max, brick_min, coarse_max, o, dirn, t0, t1, iso,
+           shape, mode: str, max_steps: int):
+    """Vectorized march with two-level empty-space skipping. o/dirn in
+    voxel space [R,3] (zyx); t in voxel units.
+
+    Skips step to the EXACT exit plane of the current (coarse or fine)
+    brick, so no sample position is ever jumped over (reference
+    VTree::Trace computes per-node t intervals, vtree.cpp:147-181):
+    - coarse level (16^3 voxels): skipped when ``coarse_max`` can't beat
+      the threshold/current best;
+    - brick level (4^3): same with ``brick_max``;
+    - iso early-accept: a brick with ``brick_min >= iso`` is entirely
+      above the threshold, so the crossing is at the current position
+      without needing the trilinear sample.
+    """
     fine = 0.5
-    skip = float(BRICK)
+    coarse_cell = BRICK * BRICK
 
     def cond(c):
-        t, done, _, _ = c
-        return jnp.any(~done) & jnp.any(t < t1)
+        t, done, _, _, k = c
+        return jnp.any(~done) & (k < max_steps)
 
     def body(c):
-        t, done, best, hit_t = c
+        t, done, best, hit_t, k = c
         p = o + dirn * t[:, None]
-        bmax = _brick_lookup(brick_max, p, shape)
+        bmax = _cell_lookup(brick_max, p, shape, BRICK)
+        cmax = _cell_lookup(coarse_max, p, shape, coarse_cell)
+        brick_exit = _exit_dist(p, dirn, BRICK)
+        coarse_exit = _exit_dist(p, dirn, coarse_cell)
         if mode == "iso":
+            bmin = _cell_lookup(brick_min, p, shape, BRICK)
             occupied = bmax >= iso
             rho = jnp.where(occupied, _sample(vol, p, shape), 0.0)
-            newly = (~done) & occupied & (rho >= iso)
+            newly = (~done) & occupied & ((rho >= iso) | (bmin >= iso))
             hit_t = jnp.where(newly & (hit_t < 0), t, hit_t)
             done = done | newly
-            step = jnp.where(occupied, fine, skip)
+            step = jnp.where(
+                occupied, fine,
+                jnp.where(cmax < iso, coarse_exit, brick_exit),
+            )
         else:  # mip
             worth = bmax > best
             rho = jnp.where(worth, _sample(vol, p, shape), 0.0)
             best = jnp.maximum(best, rho)
-            step = jnp.where(worth, fine, skip)
+            step = jnp.where(
+                worth, fine,
+                jnp.where(cmax <= best, coarse_exit, brick_exit),
+            )
         t = jnp.where(done, t, t + step)
         done = done | (t >= t1)
-        return t, done, best, hit_t
+        return t, done, best, hit_t, k + 1
 
     r = o.shape[0]
     init = (jnp.maximum(t0, 0.0), t0 > t1, jnp.zeros(r),
-            jnp.full(r, -1.0))
-    t, done, best, hit_t = jax.lax.while_loop(cond, body, init)
+            jnp.full(r, -1.0), jnp.int32(0))
+    t, done, best, hit_t, _ = jax.lax.while_loop(cond, body, init)
     return best, hit_t
 
 
@@ -164,8 +197,8 @@ def render_volume(vt: VTree, camera, width: int, height: int,
     o = o[:, ::-1]
     d = d[:, ::-1]
     t0, t1 = _entry_exit(o, d, vt.shape)
-    best, hit_t = _march(vt.vol, vt.brick_max, o, d, t0, t1, iso,
-                         vt.shape, mode, max_steps)
+    best, hit_t = _march(vt.vol, vt.brick_max, vt.brick_min, vt.coarse_max,
+                         o, d, t0, t1, iso, vt.shape, mode, max_steps)
     if mode == "mip":
         img = jnp.stack([best] * 3, axis=-1)
         return img.reshape(height, width, 3) * (1.0 / jnp.maximum(

@@ -182,10 +182,12 @@ class RenderOpts:
     stats: bool = static_field(default=False)  # gVals[2] stats overlay
     supersample: bool = static_field(default=False)  # gVals[9] 4x AA
     max_bounces: int = static_field(default=1)  # cache.reflections < 1 bound
-    # traced scalars
-    ambient: jnp.ndarray = dataclasses.field(
-        default_factory=lambda: jnp.float32(0.1)
-    )
+    # traced scalars. Plain float default (not jnp.float32): RenderOpts()
+    # appears as a def-time default argument across the render modules, and
+    # materializing a device scalar there initializes the XLA backend at
+    # import — which breaks jax.distributed.initialize (it must run before
+    # any backend touch; see parallel/distributed.py).
+    ambient: float = 0.1
 
 
 __all__ = ["Rays", "Hit", "Camera", "Light", "RenderOpts", "static_field"]

@@ -1,0 +1,167 @@
+"""Multi-host layer tests.
+
+The real multi-process path (jax.distributed.initialize + a mesh spanning
+processes) is exercised the way the reference tests MPI — by running N
+ranks on one box (``mpirun -np N`` on a single machine, SURVEY.md §4.5):
+two CPU subprocesses, 4 virtual devices each, a global 8-device mesh, one
+sharded render gathered on every rank and compared to a single-process
+render of the same frame.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys
+import numpy as np
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+
+from snail_tpu.parallel import distributed as dist
+
+joined = dist.initialize()  # from SNAIL_COORD / SNAIL_NPROCS / SNAIL_PROC_ID
+assert joined, "expected multi-process env"
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+
+from snail_tpu.core.types import Camera, Light, RenderOpts
+from snail_tpu.bvh import build_bvh
+from snail_tpu.scene.procedural import cornell_scene
+from snail_tpu.scene.scene import make_traced_scene
+
+base = cornell_scene()
+g = base.flatten()
+lo, hi = g.bounds()
+bvh = build_bvh(lo, hi, leaf_size=8)
+lights = Light.make((0.0, 3.5, 0.0), (1.0, 0.9, 0.8), 30.0)
+scene = make_traced_scene(g, bvh, lights=lights)
+
+cam = Camera.look_at(pos=(0.0, 2.0, 6.0), target=(0.0, 1.5, 0.0))
+opts = RenderOpts(textures=False, reflections=False, transparency=False)
+
+mesh = dist.global_mesh()
+assert mesh.devices.size == 8
+scene = dist.replicate_scene(scene, mesh)
+img = dist.render_frame_multihost(scene, cam, 32, 32, opts, mesh)
+out = {
+    "rank": jax.process_index(),
+    "shape": list(img.shape),
+    "mean": float(img.mean()),
+    "checksum": float(np.abs(img).sum()),
+}
+print("RESULT " + json.dumps(out))
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_mesh_render():
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        # keep the axon TPU tunnel out of the subprocess entirely: its
+        # sitecustomize registration touches the XLA backend, which must
+        # not happen before jax.distributed.initialize
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("PYTHONPATH", None)
+        env["SNAIL_COORD"] = f"127.0.0.1:{port}"
+        env["SNAIL_NPROCS"] = "2"
+        env["SNAIL_PROC_ID"] = str(rank)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                cwd=REPO,
+            )
+        )
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, out
+        results.append(json.loads(line[-1][len("RESULT "):]))
+
+    # both ranks got the FULL gathered frame and agree bit-for-bit
+    assert results[0]["shape"] == [32, 32, 3]
+    assert results[0]["shape"] == results[1]["shape"]
+    assert results[0]["checksum"] == pytest.approx(results[1]["checksum"])
+
+    # matches a single-process render of the same frame
+    from snail_tpu.core.types import Camera, Light, RenderOpts
+    from snail_tpu.bvh import build_bvh
+    from snail_tpu.scene.procedural import cornell_scene
+    from snail_tpu.scene.scene import make_traced_scene
+    from snail_tpu.render.renderer import render_frame
+
+    base = cornell_scene()
+    g = base.flatten()
+    lo, hi = g.bounds()
+    bvh = build_bvh(lo, hi, leaf_size=8)
+    lights = Light.make((0.0, 3.5, 0.0), (1.0, 0.9, 0.8), 30.0)
+    scene = make_traced_scene(g, bvh, lights=lights)
+    cam = Camera.look_at(pos=(0.0, 2.0, 6.0), target=(0.0, 1.5, 0.0))
+    opts = RenderOpts(textures=False, reflections=False, transparency=False)
+    ref = np.asarray(render_frame(scene, cam, 32, 32, opts))
+    assert results[0]["mean"] == pytest.approx(float(ref.mean()), rel=1e-5)
+
+
+def test_single_process_initialize_noop(monkeypatch):
+    from snail_tpu.parallel import distributed as dist
+
+    monkeypatch.delenv("SNAIL_COORD", raising=False)
+    monkeypatch.delenv("SNAIL_NPROCS", raising=False)
+    assert dist.initialize() in (False, True)  # True only if already joined
+    mesh = dist.global_mesh(4)
+    assert mesh.devices.size == 4
+
+
+def test_scaling_report_shape():
+    import jax
+
+    from snail_tpu.core.types import Camera, Light, RenderOpts
+    from snail_tpu.bvh import build_bvh
+    from snail_tpu.parallel import distributed as dist
+    from snail_tpu.scene.procedural import cornell_scene
+    from snail_tpu.scene.scene import make_traced_scene
+
+    base = cornell_scene()
+    g = base.flatten()
+    lo, hi = g.bounds()
+    bvh = build_bvh(lo, hi, leaf_size=8)
+    lights = Light.make((0.0, 3.5, 0.0), (1.0, 0.9, 0.8), 30.0)
+    scene = make_traced_scene(g, bvh, lights=lights)
+    cam = Camera.look_at(pos=(0.0, 2.0, 6.0), target=(0.0, 1.5, 0.0))
+    opts = RenderOpts(textures=False, reflections=False, transparency=False)
+
+    rows = dist.scaling_report(scene, cam, 32, 32, opts,
+                               device_counts=[1, 2], frames=1)
+    assert len(rows) == 2
+    assert rows[0]["devices"] == 1 and rows[1]["devices"] == 2
+    assert rows[0]["efficiency"] == 1.0
+    assert all(r["mrays"] > 0 for r in rows)

@@ -86,8 +86,24 @@ IVAL_LEAF = int(os.environ.get("SNAIL_IVAL_LEAF", 16))  # interval-kernel
 NBUF = int(os.environ.get("SNAIL_NBUF", 8))  # leaf DMA ring slots
 # (latency hiding, spu/base.h:85-135 analogue); also the chunk size of the
 # one vector<->scalar sync, so bigger rings mean fewer sync stalls
+QR = 8  # quarter rows: sub-packet granule (one (8,128) vreg block) for
+# per-leaf ray masking — leaves usually cover a fraction of the 64x64
+# tile, so intersections run only on the vreg blocks whose slab test
+# passed (counters: 80% of enqueued leaves die to the per-ray cull, and
+# survivors touched ~2 of 4 quarters; the (4, RAY_SUB, 128) brute force
+# was half the kernel time)
+NQ = RAY_SUB // QR  # quarters per packet
+_NQ_SHIFT = NQ.bit_length() - 1  # log2(NQ) for the drain's slot decode
+_BITS_WORDS = (NBUF * NQ + 31) // 32  # quarter-bit words per chunk
+assert 32 % NQ == 0, "leaf quarter bits must not straddle words"
 TRI_ROW = 128  # floats per triangle row (lane-aligned for DMA slicing)
 SMEM_NODE_CAP = 24576  # 32 B/node; box f32[6N]+meta i32[2N] ~ 768 KB SMEM
+
+
+# Ablation knob for perf budgeting (tools/profile_bench.py): "nodrain"
+# skips leaf intersections (walk + culls + DMA + syncs remain), "noslab"
+# additionally skips the per-chunk vector culls. Never set in production.
+_PROF = os.environ.get("SNAIL_PROF", "")
 
 
 def _interpret() -> bool:
@@ -621,24 +637,28 @@ def _or_across_rays(acc):
 
 def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                    lim_fn, process_fn,
-                   tris_hbm, tscratch, sems, stack_ref, lq_ref,
-                   stats_ref=None):
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
+                   qlist_ref, stats_ref=None):
     """Chunked two-phase interval walk.
 
     Phase A (pure scalar): pop nodes, interval-test children, queue up to
     NBUF leaves - starting each leaf's HBM->VMEM DMA the moment it is
     found, so the copies overlap the rest of the walk. Phase B: ONE
-    vector->scalar sync point per chunk computes (a) per-leaf per-ray
-    slab culls for all queued leaves, OR-packed across rays into a bit
-    per leaf (_or_across_rays) — the per-ray refinement the scalar
-    interval walk cannot do — and (b) the refreshed packet distance
-    bound ``max(lim_fn())`` (doubling as the shadow full-occlusion exit,
-    traverse.cpp:117-121). Both reads happen BEFORE the chunk's
-    intersections are enqueued, so the bound is one chunk stale
-    (conservative, still correct) and the scalar walk of chunk k+1
-    overlaps the VPU intersections of chunk k — the decoupled-
+    vector->scalar sync point per chunk computes (a) per-leaf per-QUARTER
+    per-ray slab culls for all queued leaves, OR-packed across rays into
+    one bit per (leaf, quarter) — quarter = one (8, 128) vreg row block —
+    the per-ray refinement the scalar interval walk cannot do — and (b)
+    the refreshed packet distance bound ``max(lim_fn())`` (doubling as
+    the shadow full-occlusion exit, traverse.cpp:117-121). Both reads
+    happen BEFORE the chunk's intersections are enqueued, so the bound is
+    one chunk stale (conservative, still correct) and the scalar walk of
+    chunk k+1 overlaps the VPU intersections of chunk k — the decoupled-
     access/execute pipelining that replaces the reference's
-    [firstActive, lastActive] narrowing.
+    [firstActive, lastActive] narrowing. ``process_fn(slot, first,
+    count, q)`` then intersects ONLY the quarters whose bit survived —
+    the TPU shape of the reference's per-ray active-range narrowing
+    (bounding_box.cpp:62-142): lockstep lanes can't narrow ray by ray,
+    but they can skip whole vreg blocks.
 
     Keeping Phase B out of ``lax.cond``-with-carry matters: vector code
     under a carried cond inside the walk loop measured ~8x slower than
@@ -647,9 +667,10 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
     ``stats_ref`` (optional SMEM i32 out, len >= 5) receives real traversal
     counters — the rebuild of TreeStats' in-kernel counting
     (reference src/tree_stats.h:36-130): [0] nodes popped, [1] leaves
-    enqueued, [2] leaves processed after the per-ray cull, [3] triangles
-    intersected (16-ray-block granularity), [4] sync chunks. Increments are
-    compiled in only when the ref is present, so the hot path pays nothing.
+    enqueued, [2] leaf-QUARTERS processed after the per-ray cull,
+    [3] triangle-quarter intersections (tris x surviving quarters),
+    [4] sync chunks. Increments are compiled in only when the ref is
+    present, so the hot path pays nothing.
     """
     sx, sy, sz = signs
     if stats_ref is not None:
@@ -669,7 +690,8 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
 
         def leaf_case(args):
             sp, nq = args
-            _leaf_dma(tris_hbm, tscratch, sems, nq, child).start()
+            if _PROF != "nodma":
+                _leaf_dma(tris_hbm, tscratch, sems, nq, child).start()
             lq_ref[nq * 3] = child
             lq_ref[nq * 3 + 1] = count
             lq_ref[nq * 3 + 2] = node
@@ -699,32 +721,77 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
         sp, nq, _ = jax.lax.while_loop(
             lambda c: (c[0] > 0) & (c[1] < NBUF), walk_body, (sp, 0, maxb)
         )
-        # batched per-leaf culls + stale bound: one sync point per chunk
+        # batched per-leaf per-quarter culls + stale bound: one sync point
+        # per chunk. Bit (i*NQ + q) of the packed words = "leaf slot i has
+        # a passing ray in vreg row block q"; the variable-shift encode
+        # keeps the whole pack one OR-reduction.
         lim = lim_fn()
-        acc = jnp.zeros((RAY_SUB, RAY_LANE), jnp.int32)
-        for i in range(NBUF):
-            nd = lq_ref[i * 3 + 2]
-            lo, hi = _box(box_ref, nd)
-            m = _slab_mask(o, idir, lo, hi, lim)
-            valid = (i < nq).astype(jnp.int32)
-            acc = acc | (jnp.where(m, jnp.int32(1 << i), 0) * valid)
-        bits = jnp.max(_or_across_rays(acc))
-        newb = jnp.max(lim)
+        if _PROF in ("noslab", "nosync", "nodma"):  # ablation: no culls
+            for w in range(_BITS_WORDS):
+                bits_ref[w] = 0
+        else:
+            qsh = jax.lax.broadcasted_iota(
+                jnp.int32, (RAY_SUB, RAY_LANE), 0
+            ) // QR  # quarter id per row
+            accs = [jnp.zeros((RAY_SUB, RAY_LANE), jnp.int32)
+                    for _ in range(_BITS_WORDS)]
+            for i in range(NBUF):
+                nd = lq_ref[i * 3 + 2]
+                lo, hi = _box(box_ref, nd)
+                m = _slab_mask(o, idir, lo, hi, lim)
+                valid = (i < nq).astype(jnp.int32)
+                w = (i * NQ) // 32
+                sh = qsh + ((i * NQ) % 32)
+                accs[w] = accs[w] | jnp.where(
+                    m, jnp.left_shift(valid, sh), 0)
+            for w in range(_BITS_WORDS):
+                bits_ref[w] = jnp.max(_or_across_rays(accs[w]))
+        if _PROF in ("nosync", "nodma"):  # ablation: no vector->scalar read
+            newb = maxb
+        else:
+            newb = jnp.max(lim)
         if stats_ref is not None:
             stats_ref[0, 0, 4] = stats_ref[0, 0, 4] + 1
         for i in range(NBUF):  # static slots: no dynamic VMEM addressing
 
             @pl.when(i < nq)
             def _(i=i):  # every started DMA must be waited (slot reuse)
-                _leaf_dma(tris_hbm, tscratch, sems, i,
-                          lq_ref[i * 3]).wait()
+                if _PROF != "nodma":
+                    _leaf_dma(tris_hbm, tscratch, sems, i,
+                              lq_ref[i * 3]).wait()
 
-            @pl.when((jax.lax.shift_right_logical(bits, i) & 1) > 0)
-            def _(i=i):
-                process_fn(i, lq_ref[i * 3], lq_ref[i * 3 + 1])
-                if stats_ref is not None:
-                    stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + 1
-                    stats_ref[0, 0, 3] = stats_ref[0, 0, 3] + lq_ref[i * 3 + 1]
+        # scalar-compact the surviving (leaf, quarter) pairs, then drain
+        # them in ONE dynamically-bounded loop. Alternatives measured on
+        # feline 1024^2: a fori over all NBUF*NQ pairs with pl.when inside
+        # (+4.2 ms — the scalar core drives 32 branch iterations/chunk),
+        # a static NBUF x NQ unroll (+2.4 ms — 128 predicated regions of
+        # setup per chunk). Compaction costs ~200 scalar cycles/chunk and
+        # the drain body runs exactly survivor-count times (~2-4/chunk).
+        n_liv = jnp.int32(0)
+        for k in range(NBUF * NQ):  # static scalar loop, ~6 ops each
+            bitk = jax.lax.shift_right_logical(
+                bits_ref[k // 32], k % 32) & 1
+
+            @pl.when(bitk > 0)
+            def _(k=k, n_liv=n_liv):
+                qlist_ref[n_liv] = k
+
+            n_liv = n_liv + bitk
+
+        def drain_body(j, carry):
+            k = qlist_ref[j]
+            slot = jax.lax.shift_right_logical(k, _NQ_SHIFT)
+            q = k & (NQ - 1)
+            process_fn(slot, lq_ref[slot * 3], lq_ref[slot * 3 + 1], q)
+            if stats_ref is not None:
+                stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + 1
+                stats_ref[0, 0, 3] = (
+                    stats_ref[0, 0, 3] + lq_ref[slot * 3 + 1]
+                )
+            return carry
+
+        if not _PROF:
+            jax.lax.fori_loop(0, n_liv, drain_body, 0)
 
         return sp, newb
 
@@ -736,19 +803,23 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
     )
 
 
-def _closest_ival_drain(o, d, idir, box_ref, tscratch,
+def _closest_ival_drain(d_refs, tscratch,
                         best_ref, bu_ref, bv_ref, tri_ref):
-    """Closest-hit leaf processing (VPU, static slot addressing).
+    """Closest-hit leaf processing (VPU, quarter-granular).
 
-    The per-leaf per-ray cull (against the CURRENT per-ray best) happens
-    batched inside _traverse_ival via lim_fn; process_fn only runs for
-    leaves that survive it."""
+    The per-leaf per-quarter cull (against the CURRENT per-ray best)
+    happens batched inside _traverse_ival via lim_fn; process_fn runs
+    only for (leaf, quarter) pairs that survive it, on that quarter's
+    (QR, 128) rows alone. ``d_refs`` are (RAY_SUB, 128) refs of the ray
+    dirs (values can't be row-sliced dynamically; refs can)."""
 
     def lim_fn():
         return best_ref[:, :]
 
-    def process_fn(slot, first, count):
+    def process_fn(slot, first, count, q):
         ts = tscratch.at[slot]
+        r = pl.ds(q * QR, QR)
+        d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
         for blk in range(IVAL_LEAF // 4):
             r0 = blk * 4
 
@@ -764,8 +835,8 @@ def _closest_ival_drain(o, d, idir, box_ref, tscratch,
                 row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
                 ok = side & (det != 0.0) & (dist > 0.0) & ((r0 + row) < count)
                 dist = jnp.where(ok, dist, BIG)
-                m = jnp.min(dist, axis=0)
-                upd = m < best_ref[:, :]
+                m = jnp.min(dist, axis=0)  # (QR, 128)
+                upd = m < best_ref[r, :]
                 is_min = (dist == m[None]) & ok
                 ids = first + r0 + row
                 tid = jnp.min(
@@ -773,23 +844,29 @@ def _closest_ival_drain(o, d, idir, box_ref, tscratch,
                 )
                 sel_u = jnp.max(jnp.where(is_min, u * idet, -BIG), axis=0)
                 sel_v = jnp.max(jnp.where(is_min, v * idet, -BIG), axis=0)
-                best_ref[:, :] = jnp.where(upd, m, best_ref[:, :])
-                tri_ref[:, :] = jnp.where(upd, tid, tri_ref[:, :])
-                bu_ref[:, :] = jnp.where(upd, sel_u, bu_ref[:, :])
-                bv_ref[:, :] = jnp.where(upd, sel_v, bv_ref[:, :])
+                best_ref[r, :] = jnp.where(upd, m, best_ref[r, :])
+                tri_ref[r, :] = jnp.where(upd, tid, tri_ref[r, :])
+                bu_ref[r, :] = jnp.where(upd, sel_u, bu_ref[r, :])
+                bv_ref[r, :] = jnp.where(upd, sel_v, bv_ref[r, :])
 
     return lim_fn, process_fn
 
 
-def _shadow_ival_drain(o, d, idir, box_ref, limit, tscratch, blocked_ref):
-    """Any-hit leaf processing; the open-rays-only limit doubles as the
-    batched per-leaf cull and the full-occlusion early-exit bound."""
+def _shadow_ival_drain(d_refs, tm_ref, limit, tscratch, blocked_ref):
+    """Any-hit leaf processing, quarter-granular; the open-rays-only limit
+    doubles as the batched per-leaf cull and the full-occlusion
+    early-exit bound. ``tm_ref`` is the (1, RAY_SUB, 128) tmax input ref
+    (re-sliced per quarter instead of dynamic-slicing the value)."""
 
     def lim_fn():
         return jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit)
 
-    def process_fn(slot, first, count):
+    def process_fn(slot, first, count, q):
         ts = tscratch.at[slot]
+        r = pl.ds(q * QR, QR)
+        d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
+        tmq = tm_ref[0, r, :]
+        limq = jnp.where(tmq >= 0.0, tmq, -BIG)
         for blk in range(IVAL_LEAF // 4):
             r0 = blk * 4
 
@@ -801,11 +878,11 @@ def _shadow_ival_drain(o, d, idir, box_ref, limit, tscratch, blocked_ref):
                     (jnp.minimum(u, v) >= 0.0)
                     & (u + v <= det)
                     & (tmul > 0.0)
-                    & (tmul < limit[None] * det)
+                    & (tmul < limq[None] * det)
                     & ((r0 + row) < count)
                 )
                 occ_any = jnp.max(jnp.where(occ, 1.0, 0.0), axis=0)
-                blocked_ref[:, :] = jnp.maximum(blocked_ref[:, :], occ_any)
+                blocked_ref[r, :] = jnp.maximum(blocked_ref[r, :], occ_any)
 
     return lim_fn, process_fn
 
@@ -814,7 +891,8 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
-                      tscratch, stack_ref, lq_ref, sems, stats_ref):
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems,
+                      stats_ref):
     """Primary rays: camera-fused raygen + decoupled interval traversal.
 
     cam layout as _camera_kernel (f32[16])."""
@@ -866,50 +944,56 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
     bv_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
     tri_ref[:, :] = jnp.full((RAY_SUB, RAY_LANE), -1, jnp.int32)
 
+    # dir outputs are written up front so the drain can take dynamic
+    # quarter-row slices of them (refs slice; in-register values don't)
+    dx_ref[0] = dx
+    dy_ref[0] = dy
+    dz_ref[0] = dz
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+
     lim_fn, process_fn = _closest_ival_drain(
-        o, d, idir, box_ref, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
+        d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
     _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, jnp.max(t_exit),
                    lim_fn, process_fn,
-                   tris_hbm, tscratch, sems, stack_ref, lq_ref, stats_ref)
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
+                   qlist_ref, stats_ref)
 
     dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
     u_ref[0] = bu_ref[:, :]
     v_ref[0] = bv_ref[:, :]
     tri_out[0] = tri_ref[:, :]
-    dx_ref[0] = dx
-    dy_ref[0] = dy
-    dz_ref[0] = dz
 
 
 def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
                         dist_ref, u_ref, v_ref, tri_out,
                         dx_ref, dy_ref, dz_ref,
                         best_ref, bu_ref, bv_ref, tri_ref,
-                        tscratch, stack_ref, lq_ref, sems):
+                        tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems):
     _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
-                      tscratch, stack_ref, lq_ref, sems, None)
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems, None)
 
 
 def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, tris_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref, st_ref,
                               best_ref, bu_ref, bv_ref, tri_ref,
-                              tscratch, stack_ref, lq_ref, sems):
+                              tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems):
     """Counter-instrumented variant (TreeStats, tree_stats.h:36-130)."""
     _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
-                      tscratch, stack_ref, lq_ref, sems, st_ref)
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems, st_ref)
 
 
 def _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
-                      tscratch, stack_ref, lq_ref, sems, stats_ref):
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems,
+                      stats_ref):
     """Shadow any-hit from the shared light origin, interval traversal."""
     o = (orig_ref[0], orig_ref[1], orig_ref[2])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
@@ -922,32 +1006,34 @@ def _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
     limit = jnp.where(active, tmax, -BIG)
     maxb0 = jnp.max(limit)
 
-    lim_fn, process_fn = _shadow_ival_drain(o, d, idir, box_ref, limit,
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+    lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
                                             tscratch, blocked_ref)
     _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                    lim_fn, process_fn,
-                   tris_hbm, tscratch, sems, stack_ref, lq_ref, stats_ref)
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
+                   qlist_ref, stats_ref)
     out_ref[0] = blocked_ref[:, :]
 
 
 def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref,
                         dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                         out_ref, blocked_ref,
-                        tscratch, stack_ref, lq_ref, sems):
+                        tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems):
     _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
-                      tscratch, stack_ref, lq_ref, sems, None)
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems, None)
 
 
 def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               out_ref, st_ref, blocked_ref,
-                              tscratch, stack_ref, lq_ref, sems):
+                              tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems):
     _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
-                      tscratch, stack_ref, lq_ref, sems, st_ref)
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems, st_ref)
 
 
 def _ival_scratches(extra_vec: int):
@@ -958,6 +1044,8 @@ def _ival_scratches(extra_vec: int):
         pltpu.VMEM((NBUF, IVAL_LEAF, TRI_ROW), jnp.float32),  # leaf ring
         pltpu.SMEM((STACK_CAP,), jnp.int32),  # stack
         pltpu.SMEM((NBUF * 3,), jnp.int32),  # leaf queue (first, count, node)
+        pltpu.SMEM((_BITS_WORDS,), jnp.int32),  # (leaf, quarter) cull bits
+        pltpu.SMEM((NBUF * NQ,), jnp.int32),  # compacted survivor list
         pltpu.SemaphoreType.DMA((NBUF,)),
     ]
 

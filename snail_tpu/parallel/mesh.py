@@ -91,6 +91,9 @@ def render_frame_sharded(scene, camera: Camera, width: int, height: int,
     )
 
     def body(o, d, tmax, scene):
+        # no tile_hw: a shard may hold a fraction of a tile (rays split
+        # evenly over devices), so footprint-based mip selection is
+        # reserved for the single-device paths; sharded shading uses mip 0
         return render_wavefront(scene, o, d, tmax, opts)
 
     color = shard_map(

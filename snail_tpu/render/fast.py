@@ -69,10 +69,16 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         uc = sh[:, 9] + sh[:, 11] * u + sh[:, 13] * v
         vc = sh[:, 10] + sh[:, 12] * u + sh[:, 14] * v
         tex_id = mp[:, 8].astype(jnp.int32)
-        from ..scene.textures import sample_atlas
+        from ..scene.textures import sample_atlas, uv_footprint
 
+        uvs = jnp.stack([uc, vc], axis=-1)
+        # texDiff mip selection (scene_inl.h:294) for primary rays, whose
+        # TILE x TILE packet order preserves pixel adjacency; bounce
+        # wavefronts have no screen footprint -> mip 0 (reference computes
+        # texDiff per primary 2x2 block only)
+        diff_uv = uv_footprint(uvs, (TILE, TILE), hit) if depth == 0 else None
         rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, tex_id,
-                           jnp.stack([uc, vc], axis=-1))
+                           uvs, diff_uv)
         has = tex_id >= 0
         kdr = jnp.where(has, rgb[..., 0], kdr)
         kdg = jnp.where(has, rgb[..., 1], kdg)

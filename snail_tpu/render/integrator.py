@@ -44,7 +44,8 @@ def _gather(arr, idx):
     return jnp.take(arr, idx, axis=0)
 
 
-def shade_hits(scene, orig, dirn, dist, tri, bary, opts: RenderOpts):
+def shade_hits(scene, orig, dirn, dist, tri, bary, opts: RenderOpts,
+               tile_hw=None):
     """Interpolate shading attributes at hits and evaluate materials.
 
     Returns a dict with position, normal, mat fields, diffuse/specular base
@@ -77,13 +78,17 @@ def shade_hits(scene, orig, dirn, dist, tri, bary, opts: RenderOpts):
     refl = _gather(scene.mat_reflect, mat)
 
     if opts.textures and scene.tex_atlas is not None:
-        from ..scene.textures import sample_atlas
+        from ..scene.textures import sample_atlas, uv_footprint
 
         tex_id = _gather(scene.mat_difftex, mat)
-        # uv footprint per 2x2 quad for mip selection (texDiff,
-        # scene_inl.h:294, point_sampler.cpp:97-108) is computed by the
-        # caller and passed via opts when available; fall back to mip 0.
-        tex_rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, tex_id, uv)
+        # uv footprint for mip selection (texDiff, scene_inl.h:294,
+        # point_sampler.cpp:97-108): available when the wavefront is in
+        # tile packet order (primary rays); bounces sample mip 0.
+        diff_uv = (
+            uv_footprint(uv, tile_hw, hit) if tile_hw is not None else None
+        )
+        tex_rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, tex_id, uv,
+                               diff_uv)
         kd = jnp.where((tex_id >= 0)[..., None], tex_rgb, kd)
         diss_id = _gather(scene.mat_disstex, mat)
         diss_rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, diss_id, uv)
@@ -153,11 +158,13 @@ def trace_light(scene, samples, light_pos, light_color, light_radius,
 
 
 def render_wavefront(scene, orig, dirn, tmax, opts: RenderOpts,
-                     depth: int = 0):
+                     depth: int = 0, tile_hw=None):
     """Trace + shade one wavefront; recurses (statically) for bounces.
 
     Returns color [R, 3]. This is RayTrace (scene_inl.h:169-496) minus the
-    block bookkeeping.
+    block bookkeeping. ``tile_hw`` (static (th, tw) or None) declares that
+    the wavefront is in row-major tile packet order, enabling uv-footprint
+    mip selection for the primary hit.
     """
     # Differentiable hit: traversal under stop_gradient + closed-form
     # recompute (snail_tpu.diff) so the whole integrator is autodiffable.
@@ -171,7 +178,8 @@ def render_wavefront(scene, orig, dirn, tmax, opts: RenderOpts,
         idist = jnp.where(dist >= BIG, 0.0, idist)
         return jnp.stack([idist * 20.0, idist * 250.0, idist * 2.0], axis=-1)
 
-    samples = shade_hits(scene, orig, dirn, dist, tri, bary, opts)
+    samples = shade_hits(scene, orig, dirn, dist, tri, bary, opts,
+                         tile_hw if depth == 0 else None)
     sel = samples["hit"] & (tmax >= 0.0)
 
     diffuse = samples["diffuse"]

@@ -56,7 +56,7 @@ def render_frame(scene, camera: Camera, width: int, height: int,
     o = jnp.broadcast_to(origin, d.shape)
     tmax = jnp.full(d.shape[:1], BIG, jnp.float32)
 
-    color = render_wavefront(scene, o, d, tmax, opts)
+    color = render_wavefront(scene, o, d, tmax, opts, tile_hw=(th, tw))
     img = untile_image(color.reshape(-1, th * tw, 3), h, w, th, tw)
     if opts.supersample:
         img = (

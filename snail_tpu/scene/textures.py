@@ -100,6 +100,33 @@ def mip_from_footprint(diff_uv, w, h, n_mips):
     return jnp.clip(mip, 0, n_mips - 1)
 
 
+def uv_footprint(uv, tile_hw, valid):
+    """Per-pixel uv footprint from tile-ordered wavefront uvs — the
+    ``texDiff`` of the reference (scene_inl.h:294: per-2x2-block uv delta
+    feeding PointSampler's mip pick, point_sampler.cpp:97-108), computed
+    here as masked forward differences over each tile.
+
+    uv float32[R, 2] in row-major (tile_h, tile_w) tile packet order,
+    valid bool[R] (misses/foreign pixels contribute no footprint).
+    Returns float32[R, 2].
+    """
+    th, tw = tile_hw
+    q = uv.reshape(-1, th, tw, 2)
+    vq = valid.reshape(-1, th, tw)
+
+    def fd(axis):
+        d = jnp.abs(jnp.diff(q, axis=axis))
+        if axis == 1:
+            ok = (vq[:, 1:, :] & vq[:, :-1, :])[..., None]
+            pad = ((0, 0), (0, 1), (0, 0), (0, 0))
+        else:
+            ok = (vq[:, :, 1:] & vq[:, :, :-1])[..., None]
+            pad = ((0, 0), (0, 0), (0, 1), (0, 0))
+        return jnp.pad(jnp.where(ok, d, 0.0), pad, mode="edge")
+
+    return jnp.maximum(fd(1), fd(2)).reshape(-1, 2)
+
+
 def sample_atlas(atlas, meta, tex_id, uv, diff_uv=None):
     """Point-sample the pyramid atlas.
 

@@ -10,14 +10,10 @@ import sys
 
 CONFIGS = [
     # ray_sub, ival_leaf, nbuf, leaf_size
-    (32, 16, 8, 16),    # round-1 baseline
+    # round-1 baseline (32, 16, 8, 16) measured 22.27 ms prim / 47 frame
     (32, 16, 16, 16),   # deeper ring = fewer syncs
-    (32, 32, 8, 32),    # fat leaves = half the walk
-    (32, 32, 16, 32),
-    (128, 16, 8, 16),   # big packets = walk amortized 4x
-    (128, 16, 16, 16),
-    (128, 32, 16, 32),
-    (8, 16, 8, 16),     # small packets (sanity: should lose)
+    (32, 32, 16, 32),   # fat leaves = half the walk
+    (128, 16, 16, 16),  # big packets = walk amortized 4x
 ]
 
 CHILD = r"""

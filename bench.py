@@ -82,6 +82,59 @@ def main():
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
     }))
 
+    # --- forward + backward (the BASELINE.json metric): one render +
+    # gradient step w.r.t. vertices and materials through the
+    # differentiable integrator (traversal under stop_gradient +
+    # closed-form recompute, snail_tpu/diff/vjp.py) ---
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from snail_tpu.render.integrator import render_wavefront
+    from snail_tpu.render.raygen import primary_rays, tile_rays
+    from snail_tpu.core.vecmath import BIG
+
+    th = tw = 16
+    origin, dirs = primary_rays(cam, WIDTH, HEIGHT)
+    d = tile_rays(dirs, th, tw).reshape(-1, 3)
+    o = jnp.broadcast_to(origin, d.shape)
+    tmax = jnp.full(d.shape[:1], BIG, jnp.float32)
+    target = jax.lax.stop_gradient(
+        render_frame(scene, cam, WIDTH, HEIGHT, opts)
+    ).reshape(-1, 3)
+
+    params = {"tri_a": scene.tri_a, "mat_diffuse": scene.mat_diffuse}
+
+    @jax.jit
+    def step(params):
+        s = dataclasses.replace(scene, **params)
+        color = render_wavefront(s, o, d, tmax, opts, tile_hw=(th, tw))
+        loss = jnp.mean((color - target) ** 2)
+        return loss
+
+    vg = jax.jit(jax.value_and_grad(step))
+    loss, grads = vg(params)
+    loss.block_until_ready()  # warmup/compile
+    assert bool(jnp.isfinite(loss)), loss
+    for k, g in grads.items():
+        assert bool(jnp.isfinite(g).all()), k
+
+    t0 = time.perf_counter()
+    for _ in range(FRAMES):
+        loss, grads = vg(params)
+    loss.block_until_ready()
+    dtb = (time.perf_counter() - t0) / FRAMES
+    mrays_b = rays / dtb / 1e6
+
+    print(json.dumps({
+        "metric": f"{scene_name}_1024_whitted_fwd_bwd",
+        "value": round(mrays_b, 2),
+        "unit": "MRays/s/chip",
+        "vs_baseline": round(mrays_b / BASELINE_MRAYS, 3),
+        "fwd_only_mrays": round(mrays, 2),
+        "fwd_only_vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -133,8 +133,9 @@ def trace_light(scene, samples, light_pos, light_color, light_radius,
     mask = sel & (dot > 0.0)
     if opts.shadows:
         tmax = jnp.where(mask, dist * 0.9999, -BIG)
-        orig = jnp.broadcast_to(light_pos, pos.shape)
-        blocked = ops_dispatch.any_hit(scene, orig, from_light, tmax)
+        blocked = ops_dispatch.any_hit_from(
+            scene, light_pos, from_light, tmax
+        )
         lit = mask & ~blocked
     else:
         lit = mask

@@ -1,4 +1,4 @@
-"""Headline benchmark: Whitted forward render MRays/s on one TPU chip.
+"""Headline benchmark: Whitted render MRays/s on one TPU chip.
 
 Mirrors the reference's benchmark methodology (benchmark.txt: avg FPS over
 frames at fixed resolution, MRays/s counting primary + shadow rays; client
@@ -10,13 +10,24 @@ Baseline: 100 MRays/s/chip — the BASELINE.json north-star per-chip target
 (one TPU chip vs the reference's full 8-node cluster, which peaks at
 153-160 MRays/s on sponza-no-tex and 44 on one node).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Three JSON metric lines, each flushed the moment it is measured so a
+driver timeout can never erase an already-computed number:
+  1. forward               (feline_1024_whitted_fwd)
+  2. forward, textured     (feline_1024_whitted_fwd_tex — the reference's
+                            headline sponza row is WITH textures,
+                            benchmark.txt:91-94)
+  3. forward+backward      (feline_1024_whitted_fwd_bwd — the BASELINE.json
+                            metric; printed LAST so the driver's
+                            last-line parse records the north star)
+Sections are skipped (not attempted) when the remaining time budget
+(SNAIL_BENCH_BUDGET seconds, default 420) can't fit their compile.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -24,6 +35,32 @@ WIDTH = HEIGHT = 1024
 FRAMES = 8
 BASELINE_MRAYS = 100.0
 FELINE = "/root/reference/scenes/feline.obj"
+BUDGET_S = float(os.environ.get("SNAIL_BENCH_BUDGET", 420))
+_T0 = time.monotonic()
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def left():
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def bench_loop(fn, frames=FRAMES):
+    out = fn()
+    jax_block(out)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        out = fn()
+    jax_block(out)
+    return (time.perf_counter() - t0) / frames
+
+
+def jax_block(x):
+    import jax
+
+    jax.block_until_ready(x)
 
 
 def main():
@@ -37,7 +74,6 @@ def main():
     if os.path.exists(FELINE):
         lights = Light.make((5.0, 15.0, 5.0), (1.0, 1.0, 1.0), 60.0)
         scene = load_scene(FELINE, cache_dir="/tmp/snail_dump", lights=lights)
-        lo, hi = np.asarray(scene.node_lo[0]), np.asarray(scene.node_hi[0])
         scene_name = "feline"
     else:  # self-contained fallback
         from snail_tpu.bvh import build_bvh
@@ -46,94 +82,93 @@ def main():
         base = city_scene(24)
         g = base.flatten()
         tlo, thi = g.bounds()
-        bvh = build_bvh(tlo, thi, leaf_size=64)
+        bvh = build_bvh(tlo, thi, leaf_size=16)
         lights = Light.make((0.0, 30.0, 0.0), (1.0, 1.0, 1.0), 120.0)
         scene = make_traced_scene(g, bvh, lights=lights)
-        lo, hi = np.asarray(scene.node_lo[0]), np.asarray(scene.node_hi[0])
         scene_name = "city"
 
+    lo, hi = np.asarray(scene.node_lo[0]), np.asarray(scene.node_hi[0])
     center = (lo + hi) * 0.5
     ext = float(np.max(hi - lo))
     cam = Camera.look_at(
         pos=tuple(center + np.array([0.45, 0.35, 0.9]) * ext),
         target=tuple(center),
     )
-    opts = RenderOpts(
-        reflections=False, transparency=False, textures=False
-    )
-
-    img = render_frame(scene, cam, WIDTH, HEIGHT, opts)
-    img.block_until_ready()  # warmup/compile
-
-    t0 = time.perf_counter()
-    for _ in range(FRAMES):
-        img = render_frame(scene, cam, WIDTH, HEIGHT, opts)
-    img.block_until_ready()
-    dt = (time.perf_counter() - t0) / FRAMES
+    opts = RenderOpts(reflections=False, transparency=False, textures=False)
 
     n_lights = scene.lights.pos.shape[0]
     rays = WIDTH * HEIGHT * (1 + n_lights)  # primary + shadow per light
-    mrays = rays / dt / 1e6
 
-    print(json.dumps({
+    # --- 1. forward (printed FIRST: the fallback headline) ---
+    dt = bench_loop(lambda: render_frame(scene, cam, WIDTH, HEIGHT, opts))
+    mrays = rays / dt / 1e6
+    emit({
         "metric": f"{scene_name}_1024_whitted_fwd",
         "value": round(mrays, 2),
         "unit": "MRays/s/chip",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-    }))
+    })
 
-    # --- forward + backward (the BASELINE.json metric): one render +
-    # gradient step w.r.t. vertices and materials through the
-    # differentiable integrator (traversal under stop_gradient +
-    # closed-form recompute, snail_tpu/diff/vjp.py) ---
+    # --- 2. forward, textured (reference headline row is sponza+tex) ---
+    try:
+        if left() > 120:
+            from snail_tpu.scene.textures import checker_atlas
+
+            tex_scene = checker_atlas(scene)
+            topts = RenderOpts(reflections=False, transparency=False,
+                               textures=True)
+            dtt = bench_loop(
+                lambda: render_frame(tex_scene, cam, WIDTH, HEIGHT, topts)
+            )
+            mrays_t = rays / dtt / 1e6
+            emit({
+                "metric": f"{scene_name}_1024_whitted_fwd_tex",
+                "value": round(mrays_t, 2),
+                "unit": "MRays/s/chip",
+                "vs_baseline": round(mrays_t / BASELINE_MRAYS, 3),
+            })
+    except Exception:
+        traceback.print_exc()
+        sys.stderr.flush()
+
+    # --- 3. forward + backward (the BASELINE.json metric, printed LAST
+    # so the driver's last-line parse records it): one render + gradient
+    # w.r.t. vertices and materials through the differentiable FAST path
+    # (camera-fused Pallas traversal under stop_gradient + closed-form
+    # recompute + planar shading, snail_tpu/render/fast.py) ---
     import dataclasses
 
-    import jax.numpy as jnp
+    from snail_tpu.render.fast import render_frame_fast_diff
 
-    from snail_tpu.render.integrator import render_wavefront
-    from snail_tpu.render.raygen import primary_rays, tile_rays
-    from snail_tpu.core.vecmath import BIG
-
-    th = tw = 16
-    origin, dirs = primary_rays(cam, WIDTH, HEIGHT)
-    d = tile_rays(dirs, th, tw).reshape(-1, 3)
-    o = jnp.broadcast_to(origin, d.shape)
-    tmax = jnp.full(d.shape[:1], BIG, jnp.float32)
     target = jax.lax.stop_gradient(
         render_frame(scene, cam, WIDTH, HEIGHT, opts)
-    ).reshape(-1, 3)
-
+    )
     params = {"tri_a": scene.tri_a, "mat_diffuse": scene.mat_diffuse}
 
-    @jax.jit
-    def step(params):
+    # NB: scene/target are jit ARGUMENTS — closing over them would inline
+    # ~60 MB of arrays as HLO constants and blow the compile budget (the
+    # round-2 bench-timeout failure mode)
+    def step(params, scene, target):
         s = dataclasses.replace(scene, **params)
-        color = render_wavefront(s, o, d, tmax, opts, tile_hw=(th, tw))
-        loss = jnp.mean((color - target) ** 2)
-        return loss
+        color = render_frame_fast_diff(s, cam, WIDTH, HEIGHT, opts)
+        return jnp.mean((color - target) ** 2)
 
     vg = jax.jit(jax.value_and_grad(step))
-    loss, grads = vg(params)
-    loss.block_until_ready()  # warmup/compile
+    loss, grads = vg(params, scene, target)
+    jax_block(loss)  # warmup/compile
     assert bool(jnp.isfinite(loss)), loss
     for k, g in grads.items():
         assert bool(jnp.isfinite(g).all()), k
 
-    t0 = time.perf_counter()
-    for _ in range(FRAMES):
-        loss, grads = vg(params)
-    loss.block_until_ready()
-    dtb = (time.perf_counter() - t0) / FRAMES
+    dtb = bench_loop(lambda: vg(params, scene, target))
     mrays_b = rays / dtb / 1e6
-
-    print(json.dumps({
+    emit({
         "metric": f"{scene_name}_1024_whitted_fwd_bwd",
         "value": round(mrays_b, 2),
         "unit": "MRays/s/chip",
         "vs_baseline": round(mrays_b / BASELINE_MRAYS, 3),
         "fwd_only_mrays": round(mrays, 2),
-        "fwd_only_vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-    }))
+    })
 
 
 if __name__ == "__main__":

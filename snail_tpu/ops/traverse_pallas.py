@@ -86,13 +86,17 @@ IVAL_LEAF = int(os.environ.get("SNAIL_IVAL_LEAF", 16))  # interval-kernel
 NBUF = int(os.environ.get("SNAIL_NBUF", 8))  # leaf DMA ring slots
 # (latency hiding, spu/base.h:85-135 analogue); also the chunk size of the
 # one vector<->scalar sync, so bigger rings mean fewer sync stalls
-QR = 8  # quarter rows: sub-packet granule (one (8,128) vreg block) for
-# per-leaf ray masking — leaves usually cover a fraction of the 64x64
-# tile, so intersections run only on the vreg blocks whose slab test
-# passed (counters: 80% of enqueued leaves die to the per-ray cull, and
-# survivors touched ~2 of 4 quarters; the (4, RAY_SUB, 128) brute force
-# was half the kernel time)
+QR = int(os.environ.get("SNAIL_QR", 8))  # quarter rows: sub-packet granule
+# (one (8,128) vreg block) for per-leaf ray masking — leaves usually cover
+# a fraction of the 64x64 tile, so intersections run only on the vreg
+# blocks whose slab test passed (counters: 80% of enqueued leaves die to
+# the per-ray cull, and survivors touched ~2 of 4 quarters; the
+# (4, RAY_SUB, 128) brute force was half the kernel time)
 NQ = RAY_SUB // QR  # quarters per packet
+# Drain strategy A/B (perf scans): "quarter" = scalar-compacted dynamic
+# loop over surviving (leaf, quarter) pairs; "leaf" = static per-leaf
+# pl.when over whole packets (the round-1 structure).
+_DRAIN = os.environ.get("SNAIL_DRAIN", "quarter")
 _NQ_SHIFT = NQ.bit_length() - 1  # log2(NQ) for the drain's slot decode
 _BITS_WORDS = (NBUF * NQ + 31) // 32  # quarter-bit words per chunk
 assert 32 % NQ == 0, "leaf quarter bits must not straddle words"
@@ -730,9 +734,12 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
             for w in range(_BITS_WORDS):
                 bits_ref[w] = 0
         else:
-            qsh = jax.lax.broadcasted_iota(
-                jnp.int32, (RAY_SUB, RAY_LANE), 0
-            ) // QR  # quarter id per row
+            if _DRAIN == "leaf":  # one bit per leaf (whole-packet drain)
+                qsh = jnp.int32(0)
+            else:  # one bit per (leaf, quarter)
+                qsh = jax.lax.broadcasted_iota(
+                    jnp.int32, (RAY_SUB, RAY_LANE), 0
+                ) // QR  # quarter id per row
             accs = [jnp.zeros((RAY_SUB, RAY_LANE), jnp.int32)
                     for _ in range(_BITS_WORDS)]
             for i in range(NBUF):
@@ -759,6 +766,22 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                 if _PROF != "nodma":
                     _leaf_dma(tris_hbm, tscratch, sems, i,
                               lq_ref[i * 3]).wait()
+
+        if _DRAIN == "leaf" and not _PROF:
+            # round-1 structure: static per-leaf pl.when, whole packet
+            for i in range(NBUF):
+                bitk = jax.lax.shift_right_logical(
+                    bits_ref[(i * NQ) // 32], (i * NQ) % 32) & 1
+
+                @pl.when(bitk > 0)
+                def _(i=i):
+                    process_fn(i, lq_ref[i * 3], lq_ref[i * 3 + 1], None)
+                    if stats_ref is not None:
+                        stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + NQ
+                        stats_ref[0, 0, 3] = (
+                            stats_ref[0, 0, 3] + lq_ref[i * 3 + 1]
+                        )
+            return sp, newb
 
         # scalar-compact the surviving (leaf, quarter) pairs, then drain
         # them in ONE dynamically-bounded loop. Alternatives measured on
@@ -818,7 +841,7 @@ def _closest_ival_drain(d_refs, tscratch,
 
     def process_fn(slot, first, count, q):
         ts = tscratch.at[slot]
-        r = pl.ds(q * QR, QR)
+        r = slice(0, RAY_SUB) if q is None else pl.ds(q * QR, QR)
         d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
         for blk in range(IVAL_LEAF // 4):
             r0 = blk * 4
@@ -863,7 +886,7 @@ def _shadow_ival_drain(d_refs, tm_ref, limit, tscratch, blocked_ref):
 
     def process_fn(slot, first, count, q):
         ts = tscratch.at[slot]
-        r = pl.ds(q * QR, QR)
+        r = slice(0, RAY_SUB) if q is None else pl.ds(q * QR, QR)
         d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
         tmq = tm_ref[0, r, :]
         limq = jnp.where(tmq >= 0.0, tmq, -BIG)

@@ -45,11 +45,18 @@ def _take(a, idx):
 
 
 def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
-                     depth: int):
+                     depth: int, diff: bool = False):
     """Shading + lights + bounces for one traced wavefront (components).
 
     o3 may be a shared origin tuple of scalars (primary) or (R,) arrays.
-    Returns color components (r, g, b)."""
+    Returns color components (r, g, b).
+
+    ``diff=True`` is the differentiable variant: material colors are
+    gathered from the primal ``mat_diffuse``/``mat_specular`` tables (so
+    parameter gradients flow) instead of the denormalized ``sh_pack`` row,
+    and every Pallas kernel call sees only stop-gradient'ed inputs
+    (traversal topology is piecewise-constant, snail_tpu/diff/vjp.py)."""
+    sg = jax.lax.stop_gradient
     hit = (dist > 0.0) & (dist < BIG)
     st = jnp.where(hit, tri, 0)
     # ONE 128-B row gather per hit: shading deltas + the denormalized
@@ -61,8 +68,15 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
     nz = sh[:, 2] + sh[:, 5] * u + sh[:, 8] * v
 
     mp = sh[:, 16:32]  # material row, no second gather
-    kdr, kdg, kdb = mp[:, 0], mp[:, 1], mp[:, 2]
-    ksr, ksg, ksb = mp[:, 3], mp[:, 4], mp[:, 5]
+    if diff:
+        mid = _take(scene.sh_mat, st)
+        kd = _take(scene.mat_diffuse, mid)
+        ks = _take(scene.mat_specular, mid)
+        kdr, kdg, kdb = kd[:, 0], kd[:, 1], kd[:, 2]
+        ksr, ksg, ksb = ks[:, 0], ks[:, 1], ks[:, 2]
+    else:
+        kdr, kdg, kdb = mp[:, 0], mp[:, 1], mp[:, 2]
+        ksr, ksg, ksb = mp[:, 3], mp[:, 4], mp[:, 5]
 
     dx, dy, dz = d3
     if opts.textures and scene.tex_atlas is not None:
@@ -112,7 +126,8 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         roz = pz + rdz * 0.001
         rtm = jnp.where(rsel, BIG, -BIG)
         rr, rg, rb = _trace_and_shade(
-            scene, (rox, roy, roz), (rdx, rdy, rdz), rtm, opts, depth + 1
+            scene, (rox, roy, roz), (rdx, rdy, rdz), rtm, opts, depth + 1,
+            diff=diff,
         )
         dr = jnp.where(rsel, dr + (rr - dr) * refl, dr)
         dg = jnp.where(rsel, dg + (rg - dg) * refl, dg)
@@ -127,7 +142,7 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         toz = pz + dz * 0.1
         ttm = jnp.where(tsel, BIG, -BIG)
         tr, tg, tb = _trace_and_shade(
-            scene, (tox, toy, toz), d3, ttm, opts, depth + 1
+            scene, (tox, toy, toz), d3, ttm, opts, depth + 1, diff=diff
         )
         dr = jnp.where(tsel, tr + (dr - tr) * opac, dr)
         dg = jnp.where(tsel, tg + (dg - tg) * opac, dg)
@@ -182,7 +197,12 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
             sdx = jnp.where(mask, flx, mdx)
             sdy = jnp.where(mask, fly, mdy)
             sdz = jnp.where(mask, flz, mdz)
-            blocked = any_hit_shared(scene, lp, (sdx, sdy, sdz), stm)
+            # binary visibility is piecewise-constant: the any-hit kernel
+            # always runs on stop-gradient'ed inputs (no Pallas AD rule
+            # needed, and d(blocked)/d(anything) == 0 anyway)
+            blocked = any_hit_shared(
+                sg(scene), sg(lp), (sg(sdx), sg(sdy), sg(sdz)), sg(stm)
+            )
             lit = mask & ~blocked
         else:
             lit = mask
@@ -213,12 +233,55 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
     return cr, cg, cb
 
 
-def _trace_and_shade(scene, o3, d3, tmax, opts, depth):
-    dist, u, v, tri = closest_hit_c(scene, o3, d3, tmax)
+def _recompute_dist_bary_c(scene, o3, d3, tri, hit):
+    """Differentiable closed-form (dist, u, v) recompute for known hit ids,
+    component-planar (the snail_tpu/diff/vjp.py recompute in the packed
+    layout): three (T, 3) row gathers + ~40 VPU flops per ray."""
+    st = jnp.where(hit, tri, 0)
+    a = _take(scene.tri_a, st)
+    ba = _take(scene.tri_ba, st)
+    ca = _take(scene.tri_ca, st)
+    nx = ba[:, 1] * ca[:, 2] - ba[:, 2] * ca[:, 1]
+    ny = ba[:, 2] * ca[:, 0] - ba[:, 0] * ca[:, 2]
+    nz = ba[:, 0] * ca[:, 1] - ba[:, 1] * ca[:, 0]
+    tvx = o3[0] - a[:, 0]
+    tvy = o3[1] - a[:, 1]
+    tvz = o3[2] - a[:, 2]
+    dx, dy, dz = d3
+    det = dx * nx + dy * ny + dz * nz
+    idet = 1.0 / jnp.where(det == 0.0, 1e-30, det)
+    c1x = tvy * ca[:, 2] - tvz * ca[:, 1]
+    c1y = tvz * ca[:, 0] - tvx * ca[:, 2]
+    c1z = tvx * ca[:, 1] - tvy * ca[:, 0]
+    c2x = ba[:, 1] * tvz - ba[:, 2] * tvy
+    c2y = ba[:, 2] * tvx - ba[:, 0] * tvz
+    c2z = ba[:, 0] * tvy - ba[:, 1] * tvx
+    u = (dx * c1x + dy * c1y + dz * c1z) * idet
+    v = (dx * c2x + dy * c2y + dz * c2z) * idet
+    dist = -(tvx * nx + tvy * ny + tvz * nz) * idet
+    return dist, u, v
+
+
+def _trace_and_shade(scene, o3, d3, tmax, opts, depth, diff=False):
+    sg = jax.lax.stop_gradient
+    if diff:
+        sscene = sg(scene)
+        dist, u, v, tri = closest_hit_c(
+            sscene, tuple(sg(c) for c in o3), tuple(sg(c) for c in d3),
+            sg(tmax),
+        )
+        hit = (dist > 0.0) & (dist < BIG)
+        rd, ru, rv = _recompute_dist_bary_c(scene, o3, d3, tri, hit)
+        dist = jnp.where(hit, rd, dist)
+        u = jnp.where(hit, ru, u)
+        v = jnp.where(hit, rv, v)
+    else:
+        dist, u, v, tri = closest_hit_c(scene, o3, d3, tmax)
     active = tmax >= 0.0
     dist = jnp.where(dist < jnp.minimum(tmax, BIG), dist, BIG)
     dist = jnp.where(active, dist, -BIG)
-    return _shade_and_light(scene, o3, d3, dist, u, v, tri, opts, depth)
+    return _shade_and_light(scene, o3, d3, dist, u, v, tri, opts, depth,
+                            diff=diff)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -240,6 +303,48 @@ def render_frame_fast(scene, camera: Camera, width: int, height: int,
         )
 
     # packet order -> image: (3, P, 32, 32) -> (H, W, 3); the one transpose
+    img = jnp.stack([cr, cg, cb], axis=0).reshape(
+        3, height // TILE, width // TILE, TILE, TILE
+    )
+    img = img.transpose(1, 3, 2, 4, 0).reshape(height, width, 3)
+    return img
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def render_frame_fast_diff(scene, camera: Camera, width: int, height: int,
+                           opts: RenderOpts = RenderOpts()):
+    """Differentiable packed Whitted render. Returns [H, W, 3] float32.
+
+    The fwd+bwd fast lane (BASELINE.json north-star metric): traversal
+    topology comes from the same camera-fused Pallas kernel as
+    :func:`render_frame_fast` (under stop_gradient — hit ids are
+    piecewise-constant, snail_tpu/diff/vjp.py), the continuous outputs
+    (dist, barycentrics) are recomputed in closed form from the primal
+    triangle arrays, and shading runs in the same component-planar style
+    with material colors gathered from the primal tables. Gradients flow
+    to scene.tri_a/tri_ba/tri_ca, mat_diffuse/mat_specular, lights and
+    the camera."""
+    sg = jax.lax.stop_gradient
+    dist0, _, _, tri, _, _, _ = camera_trace(sg(scene), sg(camera),
+                                             width, height)
+    # differentiable raygen in the SAME packet order as the kernel
+    # (ray_generator.cpp:23-50 formula; camera gradients flow here)
+    from .raygen import primary_rays, tile_rays
+
+    origin, dirs = primary_rays(camera, width, height)
+    d = tile_rays(dirs, TILE, TILE).reshape(-1, 3)
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    o3 = (camera.pos[0], camera.pos[1], camera.pos[2])
+
+    hit = (dist0 > 0.0) & (dist0 < BIG)
+    rd, ru, rv = _recompute_dist_bary_c(scene, o3, (dx, dy, dz), tri, hit)
+    dist = jnp.where(hit, rd, sg(dist0))
+    u = jnp.where(hit, ru, 0.0)
+    v = jnp.where(hit, rv, 0.0)
+
+    cr, cg, cb = _shade_and_light(
+        scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0, diff=True
+    )
     img = jnp.stack([cr, cg, cb], axis=0).reshape(
         3, height // TILE, width // TILE, TILE, TILE
     )

@@ -213,6 +213,69 @@ def make_traced_scene(
     )
 
 
+def _load_geom_cached(obj_path, cache_dir, flip_normals, gen_normals):
+    """OBJ parse with a flattened-geometry npz cache beside the BVH cache
+    (the reference's dump/ idea extended to the parse step — OBJ text
+    parsing dominated warm startup). Returns (FlatGeometry, BaseScene or
+    None). A cache hit skips the text parse entirely; material names and
+    mtl libs are stored alongside."""
+    import dataclasses as _dc
+    import json as _json
+    import os
+
+    import numpy as _np
+
+    from .base_scene import FlatGeometry
+    from .wavefront import load_wavefront_obj
+
+    st = os.stat(obj_path)
+    key = f"{st.st_size}:{int(st.st_mtime)}:{flip_normals}:{gen_normals}:g1"
+    path = None
+    if cache_dir:
+        name = os.path.splitext(os.path.basename(obj_path))[0]
+        path = os.path.join(cache_dir, f"{name}.geom.npz")
+        if os.path.exists(path):
+            try:
+                z = _np.load(path, allow_pickle=False)
+                if str(z["key"]) == key:
+                    fields = [f.name for f in _dc.fields(FlatGeometry)]
+                    geom = FlatGeometry(**{f: z[f] for f in fields})
+                    meta = _json.loads(str(z["meta"]))
+                    base = _CachedBaseMeta(meta["mat_names"],
+                                           meta["mtl_libs"])
+                    return geom, base
+            except Exception:
+                pass
+    base = load_wavefront_obj(obj_path)
+    if flip_normals:
+        base.flip_normals()
+    if gen_normals:
+        base.gen_normals()
+    geom = base.flatten()
+    if path:
+        import dataclasses as _dc2
+
+        os.makedirs(cache_dir, exist_ok=True)
+        _np.savez(
+            path,
+            key=key,
+            meta=_json.dumps({"mat_names": base.mat_names,
+                              "mtl_libs": base.mtl_libs}),
+            **{f.name: getattr(geom, f.name)
+               for f in _dc2.fields(FlatGeometry)},
+        )
+    return geom, base
+
+
+class _CachedBaseMeta:
+    """Stand-in for BaseScene when geometry comes from the npz cache —
+    only the loader metadata the rest of load_scene touches."""
+
+    def __init__(self, mat_names, mtl_libs):
+        self.mat_names = mat_names
+        self.mtl_libs = mtl_libs
+
+
 def load_scene(
     obj_path: str,
     mtl_path: Optional[str] = None,
@@ -236,12 +299,8 @@ def load_scene(
     from .materials import load_material_descs, MaterialTable
     from .lights import default_scene_lights
 
-    base = load_wavefront_obj(obj_path)
-    if flip_normals:
-        base.flip_normals()
-    if gen_normals:
-        base.gen_normals()
-    geom = base.flatten()
+    geom, base = _load_geom_cached(obj_path, cache_dir, flip_normals,
+                                   gen_normals)
     lo, hi = geom.bounds()
     name = os.path.splitext(os.path.basename(obj_path))[0]
     bvh = build_or_load(

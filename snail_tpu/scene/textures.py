@@ -188,6 +188,53 @@ def sample_sat(sat, uv_min, uv_max):
     return (total / area[..., None]).astype(jnp.float32)
 
 
+def checker_atlas(scene, size: int = 256, squares: int = 16):
+    """Attach a procedural checkerboard texture to every material of an
+    existing TracedScene (for textured-throughput benchmarking when the
+    reference scene ships no image files — the reference's headline row is
+    sponza WITH textures, benchmark.txt:91-94).
+
+    Returns a new scene with tex_atlas/tex_meta set and every material's
+    diffuse_tex id pointing at texture 0, in all three material encodings
+    (mat_difftex, mat_pack, the denormalized sh_pack row). The reference
+    scenes ship no ``vt`` records, so planar world-space UVs are
+    synthesized from the triangle vertices (XZ projection over the scene
+    extent) — exercising the real gather/mip path with varying texels."""
+    import dataclasses
+
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    cell = size // squares
+    chk = ((yy // cell + xx // cell) % 2).astype(np.float32)
+    img = np.stack([0.2 + 0.7 * chk, 0.25 + 0.5 * chk, 0.3 + 0.3 * chk],
+                   axis=-1)
+    atlas, meta = build_pyramid_atlas([img])
+
+    lo, hi = scene.node_lo[0], scene.node_hi[0]
+    inv = 4.0 / jnp.maximum(jnp.max(hi - lo), 1e-6)  # ~4 tex repeats
+    uv0 = (scene.tri_a[:, (0, 2)] - lo[None, (0, 2)]) * inv
+    uve1 = scene.tri_ba[:, (0, 2)] * inv
+    uve2 = scene.tri_ca[:, (0, 2)] * inv
+
+    mat_difftex = jnp.zeros_like(scene.mat_difftex)
+    mat_pack = scene.mat_pack.at[:, 8].set(0.0)
+    sh_pack = scene.sh_pack.at[:, 24].set(0.0)  # denormalized difftex col
+    t = scene.sh_pack.shape[0]
+    sh_pack = sh_pack.at[:, 9:11].set(uv0[:t])
+    sh_pack = sh_pack.at[:, 11:13].set(uve1[:t])
+    sh_pack = sh_pack.at[:, 13:15].set(uve2[:t])
+    return dataclasses.replace(
+        scene,
+        tex_atlas=atlas,
+        tex_meta=meta,
+        mat_difftex=mat_difftex,
+        mat_pack=mat_pack,
+        sh_pack=sh_pack,
+        sh_uv0=uv0,
+        sh_uve1=uve1,
+        sh_uve2=uve2,
+    )
+
+
 def load_texture_atlas(descs, tex_dir: str):
     """Load the diffuse/dissolve maps referenced by material descs
     (reference LoadTextures, shading/material.cpp:150-166; bmp/tga/png).

@@ -36,7 +36,7 @@ def main():
     scene = load_scene("/root/reference/scenes/feline.obj",
                        cache_dir="/tmp/snail_dump", lights=lights)
     print("tris:", scene.num_tris, "nodes:", scene.num_nodes,
-          "leaf_max:", scene.leaf_max, "depth:", scene.depth)
+          "leaf_max:", scene.leaf_max, "depth:", scene.depth, flush=True)
     lo, hi = np.asarray(scene.node_lo[0]), np.asarray(scene.node_hi[0])
     center = (lo + hi) * 0.5
     ext = float(np.max(hi - lo))
@@ -45,10 +45,13 @@ def main():
     opts = RenderOpts(reflections=False, transparency=False, textures=False)
 
     # 1. primary only (camera trace kernel)
-    ct = jax.jit(lambda: camera_trace(scene, cam, W, H))
+    # no closure-capturing outer jit: captured scene arrays would inline
+    # as HLO constants and multiply compile time (camera_trace's internals
+    # are already jitted with proper arguments)
+    ct = lambda: camera_trace(scene, cam, W, H)
     t_prim = bench(lambda: ct())
     print(f"primary camera_trace: {t_prim*1e3:8.2f} ms "
-          f"({W*H/t_prim/1e6:7.1f} MRays/s)")
+          f"({W*H/t_prim/1e6:7.1f} MRays/s)", flush=True)
 
     # 2. shadow pass alone (using traced hit points)
     dist, u, v, tri, dx, dy, dz = ct()
@@ -62,21 +65,21 @@ def main():
     sd = (lvx / ld, lvy / ld, lvz / ld)
     stm = jnp.where(hit, ld * 0.9999, -BIG)
     sd = tuple(jnp.where(hit, c, 0.5774) for c in sd)
-    sh = jax.jit(lambda: any_hit_shared(scene, lp, sd, stm))
+    sh = lambda: any_hit_shared(scene, lp, sd, stm)
     t_shadow = bench(lambda: sh())
     print(f"shadow any_hit:       {t_shadow*1e3:8.2f} ms "
-          f"({W*H/t_shadow/1e6:7.1f} MRays/s)")
+          f"({W*H/t_shadow/1e6:7.1f} MRays/s)", flush=True)
 
     # 3. full frame
     t_frame = bench(lambda: render_frame(scene, cam, W, H, opts))
     print(f"full frame:           {t_frame*1e3:8.2f} ms "
           f"({2*W*H/t_frame/1e6:7.1f} MRays/s)  "
-          f"[shading+rest = {(t_frame-t_prim-t_shadow)*1e3:.2f} ms]")
+          f"[shading+rest = {(t_frame-t_prim-t_shadow)*1e3:.2f} ms]", flush=True)
 
     # 4. noshading frame (primary + image assembly only)
     t_ns = bench(lambda: render_frame(scene, cam, W, H,
                                       RenderOpts(shading=False)))
-    print(f"noshading frame:      {t_ns*1e3:8.2f} ms")
+    print(f"noshading frame:      {t_ns*1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

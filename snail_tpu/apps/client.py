@@ -54,7 +54,8 @@ class StatAccum:
 
 def run_client(host: str, port: int, model: str, resx: int, resy: int,
                frames: int, cam_pos, cam_target, lights,
-               out_prefix: str = "/tmp/snail_frame") -> StatAccum:
+               out_prefix: str = "/tmp/snail_frame",
+               stats: bool = False) -> StatAccum:
     sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     sock.connect((host, port))
@@ -78,19 +79,26 @@ def run_client(host: str, port: int, model: str, resx: int, resy: int,
             cam_pos=tuple(map(float, pos)),
             cam_target=tuple(map(float, cam_target)),
             lights=lights,
+            gvals={"2": True} if stats else {},
         )
         t0 = time.perf_counter()
         protocol.send_json(sock, req.to_json())
         parts = list(protocol.recv_parts(sock))
-        stats = protocol.recv_json(sock)
+        st = protocol.recv_json(sock)
         img = protocol.assemble(parts, resy, resx)
         dt = time.perf_counter() - t0
         rays = resx * resy * (1 + len(lights))
         acc.tick(dt, rays)
         fc.tick()
         kb = sum(len(p[6]) for p in parts) / 1024.0
+        hud = ""
+        if st.get("measured"):
+            # measured in-kernel counters (TreeStats::GenInfo HUD string,
+            # reference tree_stats.cpp GenInfo / client.cpp:352)
+            hud = (f" in:{st['intersects'] // 1000}k"
+                   f" it:{st['loop_iters'] // 1000}k")
         print(f"[client] frame {f}: {dt*1e3:.1f} ms "
-              f"(render {stats['render_ms']:.1f} ms, {kb:.0f} KB/frame)",
+              f"(render {st['render_ms']:.1f} ms, {kb:.0f} KB/frame){hud}",
               flush=True)
         if out_prefix:
             save_image(f"{out_prefix}_{f:03d}.png",
@@ -112,13 +120,15 @@ def main(argv=None) -> None:
     ap.add_argument("--cam-pos", default="3,2.5,4")
     ap.add_argument("--cam-target", default="0,0,0")
     ap.add_argument("--out", default="/tmp/snail_frame")
+    ap.add_argument("--stats", action="store_true",
+                    help="request measured in-kernel TreeStats (gVals[2])")
     args = ap.parse_args(argv)
     resx, resy = map(int, args.res.split("x"))
     cam_pos = tuple(map(float, args.cam_pos.split(",")))
     cam_target = tuple(map(float, args.cam_target.split(",")))
     lights = [{"pos": [5.0, 15.0, 5.0], "color": [1, 1, 1], "radius": 60.0}]
     run_client(args.host, args.port, args.model, resx, resy, args.frames,
-               cam_pos, cam_target, lights, args.out)
+               cam_pos, cam_target, lights, args.out, stats=args.stats)
 
 
 if __name__ == "__main__":

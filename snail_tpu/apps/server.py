@@ -97,15 +97,41 @@ def serve_connection(conn: socket.socket, scene_dir: str,
                             float(l["radius"])) for l in lights]))
         opts = _opts_from_gvals(req.get("gvals", {}))
 
+        from ..render.fast import (
+            render_frame_fast_stats,
+            stats_path_available,
+        )
+
         t0 = time.perf_counter()
-        img = render_frame(scene, cam, resx, resy, opts)
+        kstats = None
+        if (opts.stats and stats_path_available(scene)
+                and resx % 64 == 0 and resy % 64 == 0):
+            # REAL in-kernel traversal counters (TreeStats rebuild,
+            # reference tree_stats.h:36-130, aggregated server-side like
+            # server.cpp:406-418)
+            img, kstats = render_frame_fast_stats(scene, cam, resx, resy,
+                                                  opts)
+        else:
+            img = render_frame(scene, cam, resx, resy, opts)
         rgb8 = to_rgb8(img)
         render_ms = (time.perf_counter() - t0) * 1e3
 
         protocol.send_parts(conn, _split_parts(rgb8))
-        stats = TreeStats(rays=resx * resy * (1 + len(lights)))
+        if kstats is not None:
+            from ..ops.traverse_pallas import QR, RAY_LANE
+
+            stats = TreeStats(
+                intersects=kstats["tri_blocks"] * QR * RAY_LANE,
+                loop_iters=kstats["nodes"],
+                rays=kstats["rays"],
+                runs=1 + len(lights),
+            )
+            measured = True
+        else:
+            stats = TreeStats(rays=resx * resy * (1 + len(lights)))
+            measured = False
         protocol.send_json(conn, {
-            "type": "stats", "render_ms": render_ms,
+            "type": "stats", "render_ms": render_ms, "measured": measured,
             "build_ms": build_time * 1e3, **stats.to_dict(),
         })
 

@@ -142,27 +142,38 @@ def build_bvh(
             child[nid] = first
             count[nid] = cnt
 
-        if cnt <= leaf_size or depth >= MAX_DEPTH - 1:
+        if cnt <= leaf_size:
             make_leaf()
             continue
 
         slo, shi = tri_lo[seg], tri_hi[seg]
         ext = bhi - blo
 
-        if method == "sweep":
-            split = _find_split_sweep(slo, shi, centers[seg])
+        # ``leaf_size`` is a HARD cap (the Pallas kernels' fixed leaf DMA
+        # granule depends on it), so an oversized node must split even when
+        # the SAH cost says stop (the reference can afford soft leaves,
+        # tree.cpp:235-237; we cannot — a 411-tri SAH leaf on lancia.obj
+        # silently knocked the whole scene off the kernel path). Median
+        # splits halve the count, so switching to forced-median once the
+        # remaining depth budget just covers ceil(log2(cnt/leaf_size))
+        # levels guarantees termination within MAX_DEPTH.
+        need = int(np.ceil(np.log2(max(cnt / leaf_size, 1.0))))
+        split = None
+        if depth < MAX_DEPTH - 1 - need:
+            if method == "sweep":
+                split = _find_split_sweep(slo, shi, centers[seg])
+            else:
+                split = _find_split_binned(slo, shi, blo, bhi, ext)
+
+        if split is not None:
+            is_left, sp_axis, lbox, rbox = split
+            n_left = int(is_left.sum())
         else:
-            split = _find_split_binned(slo, shi, blo, bhi, ext)
+            n_left = 0  # force the median path below
 
-        if split is None:
-            # no-split cost won (tree.cpp:235-237 / 106-108)
-            make_leaf()
-            continue
-
-        is_left, sp_axis, lbox, rbox = split
-        n_left = int(is_left.sum())
         if n_left == 0 or n_left == cnt:
-            # median fallback (tree.cpp:260-271)
+            # median fallback (tree.cpp:260-271) — also the forced split
+            # for SAH-stalled or depth-limited oversized nodes
             sp_axis = int(np.argmax(ext))
             key = centers[seg][:, sp_axis]
             mid = cnt // 2

@@ -155,6 +155,10 @@ def pack_scene_arrays(bvh, geom_padded):
         axis=1,
     ).reshape(-1)
 
+    return meta, box, _pack_tri_rows(geom_padded)
+
+
+def _pack_tri_rows(geom_padded):
     t = len(geom_padded.a)
     # One triangle per 128-float row: Mosaic requires DMA-sliced arrays to
     # have a 128-multiple lane dimension, so the 16 used floats live in the
@@ -164,7 +168,29 @@ def pack_scene_arrays(bvh, geom_padded):
     tris[:, 3:6] = geom_padded.ba
     tris[:, 6:9] = geom_padded.ca
     tris[:, 9:12] = np.cross(geom_padded.ba, geom_padded.ca)
-    return meta, box, tris
+    return tris
+
+
+def pack_scene_arrays_paged(bvh, geom_padded):
+    """Two-level packing for scenes over the SMEM node cap
+    (bvh/pages.py): returns (top_meta, top_box, tris, pg_meta, pg_box).
+
+    Requires leaf_max <= IVAL_LEAF (only the decoupled interval kernels
+    have a paged variant)."""
+    from ..bvh.pages import partition_pages
+
+    if int(bvh.count.max()) > IVAL_LEAF:
+        raise ValueError(
+            f"paged path needs leaf_size <= IVAL_LEAF ({IVAL_LEAF}); "
+            f"got {bvh.count.max()}"
+        )
+    layout = partition_pages(bvh)
+    if layout.n_top > SMEM_NODE_CAP:
+        raise ValueError(
+            f"top tree {layout.n_top} nodes > SMEM cap {SMEM_NODE_CAP}"
+        )
+    return (layout.top_meta, layout.top_box, _pack_tri_rows(geom_padded),
+            layout.pg_meta, layout.pg_box)
 
 
 # ---------------------------------------------------------------------------
@@ -593,18 +619,17 @@ def _ival_bounds(idir):
     return tuple(out), tuple(signs)
 
 
-def _ival_test(box_ref, node, o, bnds, maxb):
-    """Whole-packet conservative slab test, pure scalar core.
-
-    The rebuild of BBox::TestInterval (bounding_box.cpp:208-236):
-    min/max of (plane - origin) * idir over the idir interval per axis."""
-    b = node * 6
+def _ival_test_vals(box6, o, bnds, maxb):
+    """Whole-packet conservative slab test from 6 scalar bounds, pure
+    scalar core. The rebuild of BBox::TestInterval
+    (bounding_box.cpp:208-236): min/max of (plane - origin) * idir over
+    the idir interval per axis."""
     tn = jnp.float32(0.0)
     tf = maxb
     for k in range(3):
         im, iM, span = bnds[k]
-        a = box_ref[b + k] - o[k]
-        c = box_ref[b + 3 + k] - o[k]
+        a = box6[k] - o[k]
+        c = box6[3 + k] - o[k]
         p1 = a * im
         p2 = a * iM
         p3 = c * im
@@ -614,6 +639,15 @@ def _ival_test(box_ref, node, o, bnds, maxb):
         tn = jnp.maximum(tn, jnp.where(span, -BIG, tnk))
         tf = jnp.minimum(tf, jnp.where(span, BIG, tfk))
     return (tn <= tf) & (tf > 0.0)
+
+
+def _box6(box_ref, node):
+    b = node * 6
+    return tuple(box_ref[b + k] for k in range(6))
+
+
+def _ival_test(box_ref, node, o, bnds, maxb):
+    return _ival_test_vals(_box6(box_ref, node), o, bnds, maxb)
 
 
 def _leaf_dma(tris_hbm, tscratch, sems, slot, first):
@@ -639,10 +673,13 @@ def _or_across_rays(acc):
     return acc
 
 
+PAGE_BASE = 1 << 26  # stack ids >= PAGE_BASE are page-local (paged walk)
+
+
 def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
-                   qlist_ref, stats_ref=None):
+                   qlist_ref, lbox_ref, stats_ref=None, pages=None):
     """Chunked two-phase interval walk.
 
     Phase A (pure scalar): pop nodes, interval-test children, queue up to
@@ -675,30 +712,78 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
     [3] triangle-quarter intersections (tris x surviving quarters),
     [4] sync chunks. Increments are compiled in only when the ref is
     present, so the hot path pays nothing.
+
+    ``pages`` (optional) enables the two-level large-scene walk
+    (bvh/pages.py layout; the SPU node-cache analogue, spu/base.h:85-135):
+    a 5-tuple (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem).
+    Top-tree *page pointer* nodes (axis == 3) DMA their page's meta+box
+    rows into the SMEM page slot and push the page-local root
+    (PAGE_BASE + 0); LIFO order guarantees the whole page subtree drains
+    before any older stack entry, so one slot suffices. Enqueued leaves
+    carry their bbox in ``lbox_ref`` (copied at enqueue), so Phase B
+    culls never re-read a node table that may since have been paged out.
     """
     sx, sy, sz = signs
+    if pages is not None:
+        pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem = pages
     if stats_ref is not None:
         for i in range(8):
             stats_ref[0, 0, i] = 0
-
-    for i in range(NBUF):  # stale-safe node ids for the batched cull reads
-        lq_ref[i * 3 + 2] = 0
 
     def walk_body(carry):
         sp, nq, maxb = carry
         node = stack_ref[sp - 1]
         sp = sp - 1
-        child, count, axis, fnode = _meta(tbl_ref, node)
+        if pages is None:
+            w0 = tbl_ref[node * 2]
+            w1 = tbl_ref[node * 2 + 1]
+            in_pg = None
+        else:
+            in_pg = node >= PAGE_BASE
+
+            def _rd_pg():
+                li = node - PAGE_BASE
+                return pmeta_ref[li * 2], pmeta_ref[li * 2 + 1]
+
+            def _rd_top():
+                return tbl_ref[node * 2], tbl_ref[node * 2 + 1]
+
+            w0, w1 = jax.lax.cond(in_pg, _rd_pg, _rd_top)
+        child = jax.lax.shift_right_logical(w0, 9)
+        count = jax.lax.shift_right_logical(w0, 2) & 0x7F
+        axis = w0 & 0x3
+        fnode = w1 & 1
         if stats_ref is not None:
             stats_ref[0, 0, 0] = stats_ref[0, 0, 0] + 1
 
+        def _node_box6(local):
+            """6 scalar bounds of a node in the CURRENT space."""
+            if pages is None:
+                return _box6(box_ref, local)
+            return jax.lax.cond(
+                in_pg,
+                lambda: _box6(pbox_ref, local),
+                lambda: _box6(box_ref, local),
+            )
+
         def leaf_case(args):
             sp, nq = args
+            if pages is None:
+                first = child
+                this = node
+            else:
+                # page leaves keep the global first-tri row in w1 (32
+                # bits; the packed child field is only 22)
+                first = jnp.where(in_pg, w1, child)
+                this = jnp.where(in_pg, node - PAGE_BASE, node)
             if _PROF != "nodma":
-                _leaf_dma(tris_hbm, tscratch, sems, nq, child).start()
-            lq_ref[nq * 3] = child
+                _leaf_dma(tris_hbm, tscratch, sems, nq, first).start()
+            lq_ref[nq * 3] = first
             lq_ref[nq * 3 + 1] = count
-            lq_ref[nq * 3 + 2] = node
+            lq_ref[nq * 3 + 2] = this
+            b6 = _node_box6(this)
+            for k in range(6):
+                lbox_ref[nq * 6 + k] = b6[k]
             if stats_ref is not None:
                 stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
             return sp, nq + 1
@@ -709,15 +794,46 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
             bit = fnode ^ sgn
             near = child + bit
             far = child + 1 - bit
-            pf = _ival_test(box_ref, far, o, bnds, maxb)
-            pn = _ival_test(box_ref, near, o, bnds, maxb)
+            pf = _ival_test_vals(_node_box6(far), o, bnds, maxb)
+            pn = _ival_test_vals(_node_box6(near), o, bnds, maxb)
+            if pages is not None:
+                base = jnp.where(in_pg, PAGE_BASE, 0)
+                near = base + near
+                far = base + far
             stack_ref[sp] = far
             sp = sp + pf.astype(jnp.int32)
             stack_ref[sp] = near
             sp = sp + pn.astype(jnp.int32)
             return sp, nq
 
-        sp, nq = jax.lax.cond(count > 0, leaf_case, inner_case, (sp, nq))
+        if pages is None:
+            sp, nq = jax.lax.cond(count > 0, leaf_case, inner_case, (sp, nq))
+            return sp, nq, maxb
+
+        def enter_page(args):
+            # blocking page fault: meta+box rows -> SMEM page slot
+            sp, nq = args
+            cm = pltpu.make_async_copy(pg_meta_hbm.at[child], pmeta_ref,
+                                       psem.at[0])
+            cb = pltpu.make_async_copy(pg_box_hbm.at[child], pbox_ref,
+                                       psem.at[1])
+            cm.start()
+            cb.start()
+            cm.wait()
+            cb.wait()
+            stack_ref[sp] = PAGE_BASE
+            if stats_ref is not None:
+                stats_ref[0, 0, 5] = stats_ref[0, 0, 5] + 1
+            return sp + 1, nq
+
+        is_ptr = jnp.logical_not(in_pg) & (axis == 3)
+        sp, nq = jax.lax.cond(
+            is_ptr,
+            enter_page,
+            lambda args: jax.lax.cond(count > 0, leaf_case, inner_case,
+                                      args),
+            (sp, nq),
+        )
         return sp, nq, maxb
 
     def outer_body(carry):
@@ -743,8 +859,12 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
             accs = [jnp.zeros((RAY_SUB, RAY_LANE), jnp.int32)
                     for _ in range(_BITS_WORDS)]
             for i in range(NBUF):
-                nd = lq_ref[i * 3 + 2]
-                lo, hi = _box(box_ref, nd)
+                # leaf bbox captured at enqueue (lbox_ref) — node tables
+                # may have paged over since
+                lo = (lbox_ref[i * 6], lbox_ref[i * 6 + 1],
+                      lbox_ref[i * 6 + 2])
+                hi = (lbox_ref[i * 6 + 3], lbox_ref[i * 6 + 4],
+                      lbox_ref[i * 6 + 5])
                 m = _slab_mask(o, idir, lo, hi, lim)
                 valid = (i < nq).astype(jnp.int32)
                 w = (i * NQ) // 32
@@ -914,8 +1034,8 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
-                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems,
-                      stats_ref):
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                      lbox_ref, sems, stats_ref, pages=None):
     """Primary rays: camera-fused raygen + decoupled interval traversal.
 
     cam layout as _camera_kernel (f32[16])."""
@@ -979,7 +1099,7 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
     _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, jnp.max(t_exit),
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
-                   qlist_ref, stats_ref)
+                   qlist_ref, lbox_ref, stats_ref, pages)
 
     dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
     u_ref[0] = bu_ref[:, :]
@@ -991,32 +1111,53 @@ def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
                         dist_ref, u_ref, v_ref, tri_out,
                         dx_ref, dy_ref, dz_ref,
                         best_ref, bu_ref, bv_ref, tri_ref,
-                        tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems):
+                        tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                        lbox_ref, sems):
     _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
-                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems, None)
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                      lbox_ref, sems, None)
+
+
+def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, tris_hbm,
+                              pg_meta_hbm, pg_box_hbm,
+                              dist_ref, u_ref, v_ref, tri_out,
+                              dx_ref, dy_ref, dz_ref,
+                              best_ref, bu_ref, bv_ref, tri_ref,
+                              tscratch, stack_ref, lq_ref, bits_ref,
+                              qlist_ref, lbox_ref, sems,
+                              pmeta_ref, pbox_ref, psem):
+    _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
+                      dist_ref, u_ref, v_ref, tri_out,
+                      dx_ref, dy_ref, dz_ref,
+                      best_ref, bu_ref, bv_ref, tri_ref,
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                      lbox_ref, sems, None,
+                      (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem))
 
 
 def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, tris_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref, st_ref,
                               best_ref, bu_ref, bv_ref, tri_ref,
-                              tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems):
+                              tscratch, stack_ref, lq_ref, bits_ref,
+                              qlist_ref, lbox_ref, sems):
     """Counter-instrumented variant (TreeStats, tree_stats.h:36-130)."""
     _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
-                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems, st_ref)
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                      lbox_ref, sems, st_ref)
 
 
 def _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
-                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems,
-                      stats_ref):
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                      lbox_ref, sems, stats_ref, pages=None):
     """Shadow any-hit from the shared light origin, interval traversal."""
     o = (orig_ref[0], orig_ref[1], orig_ref[2])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
@@ -1035,32 +1176,51 @@ def _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
     _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
-                   qlist_ref, stats_ref)
+                   qlist_ref, lbox_ref, stats_ref, pages)
     out_ref[0] = blocked_ref[:, :]
 
 
 def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref,
                         dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                         out_ref, blocked_ref,
-                        tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems):
+                        tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                        lbox_ref, sems):
     _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
-                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems, None)
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                      lbox_ref, sems, None)
+
+
+def _shadow_ival_kernel_paged(tbl_ref, box_ref, orig_ref,
+                              dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                              pg_meta_hbm, pg_box_hbm,
+                              out_ref, blocked_ref,
+                              tscratch, stack_ref, lq_ref, bits_ref,
+                              qlist_ref, lbox_ref, sems,
+                              pmeta_ref, pbox_ref, psem):
+    _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
+                      dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                      out_ref, blocked_ref,
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                      lbox_ref, sems, None,
+                      (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem))
 
 
 def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               out_ref, st_ref, blocked_ref,
-                              tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems):
+                              tscratch, stack_ref, lq_ref, bits_ref,
+                              qlist_ref, lbox_ref, sems):
     _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
-                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref, sems, st_ref)
+                      tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                      lbox_ref, sems, st_ref)
 
 
-def _ival_scratches(extra_vec: int):
-    return [
+def _ival_scratches(extra_vec: int, page_shapes=None):
+    base = [
         pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)
         for _ in range(extra_vec)
     ] + [
@@ -1069,8 +1229,17 @@ def _ival_scratches(extra_vec: int):
         pltpu.SMEM((NBUF * 3,), jnp.int32),  # leaf queue (first, count, node)
         pltpu.SMEM((_BITS_WORDS,), jnp.int32),  # (leaf, quarter) cull bits
         pltpu.SMEM((NBUF * NQ,), jnp.int32),  # compacted survivor list
+        pltpu.SMEM((NBUF * 6,), jnp.float32),  # enqueue-time leaf bboxes
         pltpu.SemaphoreType.DMA((NBUF,)),
     ]
+    if page_shapes is not None:
+        meta_len, box_len = page_shapes  # one page's row lengths
+        base += [
+            pltpu.SMEM((meta_len,), jnp.int32),  # page slot: meta
+            pltpu.SMEM((box_len,), jnp.float32),  # page slot: boxes
+            pltpu.SemaphoreType.DMA((2,)),  # page meta/box DMAs
+        ]
+    return base
 
 
 @partial(jax.jit, static_argnames=("p",))
@@ -1111,6 +1280,49 @@ def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
         ),
         interpret=_interpret(),
     )(meta, box, orig, dx, dy, dz, tm, tris)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
+    return pl.pallas_call(
+        _camera_ival_kernel_paged,
+        grid=(p,),
+        in_specs=[_smem(), _smem(), _smem()]
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
+        out_specs=[_blk()] * 7,
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _ival_scratches(
+                0, (pg_meta.shape[1], pg_box.shape[1]))
+        ),
+        interpret=_interpret(),
+    )(meta, box, cam, tris, pg_meta, pg_box)
+
+
+@jax.jit
+def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
+                           pg_meta, pg_box):
+    p = dx.shape[0]
+    return pl.pallas_call(
+        _shadow_ival_kernel_paged,
+        grid=(p,),
+        in_specs=[_smem(), _smem(), _smem()] + [_blk()] * 4
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _ival_scratches(
+                0, (pg_meta.shape[1], pg_box.shape[1]))
+        ),
+        interpret=_interpret(),
+    )(meta, box, orig, dx, dy, dz, tm, tris, pg_meta, pg_box)
 
 
 def _stats_spec():
@@ -1252,6 +1464,16 @@ def camera_trace(scene, camera, width: int, height: int):
     p = tiles_x * (height // TILE)
     cam = _cam_vec(camera, width, height, tiles_x)
 
+    if getattr(scene, "pg_meta", None) is not None:
+        # two-level large-scene walk (bvh/pages.py)
+        dist, u, v, tri, dx, dy, dz = _run_camera_ival_paged(
+            scene.pk_meta, scene.pk_box, cam,
+            shared_rows(scene.pk_tris, camera.pos),
+            scene.pg_meta, scene.pg_box, p
+        )
+        f = lambda a: a.reshape(-1)
+        return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
+
     if scene.leaf_max <= IVAL_LEAF:
         dist, u, v, tri, dx, dy, dz = _run_camera_ival(
             scene.pk_meta, scene.pk_box, cam,
@@ -1390,6 +1612,10 @@ def closest_hit_c(scene, o3, d3, tmax):
     """Component-planar closest hit: o3/d3 = (x, y, z) flat (R,) arrays.
 
     Returns (dist, u, v, tri) flat (R,). miss -> BIG, masked -> -BIG."""
+    assert getattr(scene, "pg_meta", None) is None, (
+        "general closest-hit kernel is single-level; paged scenes only "
+        "support the camera/shadow shared-origin paths"
+    )
     ox, n = _pad_flat(o3[0])
     oy, _ = _pad_flat(o3[1])
     oz, _ = _pad_flat(o3[2])
@@ -1416,6 +1642,14 @@ def any_hit_shared(scene, light_pos, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
     pk = _pk
+    if getattr(scene, "pg_meta", None) is not None:
+        out = _run_shadow_ival_paged(
+            scene.pk_meta, scene.pk_box, orig,
+            pk(dx), pk(dy), pk(dz), pk(tm),
+            shared_rows(scene.pk_tris, jnp.asarray(light_pos, jnp.float32)),
+            scene.pg_meta, scene.pg_box,
+        )
+        return out.reshape(-1)[:n] > 0.0
     if scene.leaf_max <= IVAL_LEAF:
         out = _run_shadow_ival(
             scene.pk_meta, scene.pk_box, orig,

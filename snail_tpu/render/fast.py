@@ -45,7 +45,7 @@ def _take(a, idx):
 
 
 def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
-                     depth: int, diff: bool = False):
+                     depth: int, diff: bool = False, stats_out=None):
     """Shading + lights + bounces for one traced wavefront (components).
 
     o3 may be a shared origin tuple of scalars (primary) or (R,) arrays.
@@ -200,9 +200,17 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
             # binary visibility is piecewise-constant: the any-hit kernel
             # always runs on stop-gradient'ed inputs (no Pallas AD rule
             # needed, and d(blocked)/d(anything) == 0 anyway)
-            blocked = any_hit_shared(
-                sg(scene), sg(lp), (sg(sdx), sg(sdy), sg(sdz)), sg(stm)
-            )
+            if stats_out is not None:
+                from ..ops.traverse_pallas import any_hit_shared_stats
+
+                blocked, st = any_hit_shared_stats(
+                    sg(scene), sg(lp), (sg(sdx), sg(sdy), sg(sdz)), sg(stm)
+                )
+                stats_out.append(st)
+            else:
+                blocked = any_hit_shared(
+                    sg(scene), sg(lp), (sg(sdx), sg(sdy), sg(sdz)), sg(stm)
+                )
             lit = mask & ~blocked
         else:
             lit = mask
@@ -308,6 +316,68 @@ def render_frame_fast(scene, camera: Camera, width: int, height: int,
     )
     img = img.transpose(1, 3, 2, 4, 0).reshape(height, width, 3)
     return img
+
+
+def stats_path_available(scene) -> bool:
+    from ..ops.traverse_pallas import IVAL_LEAF
+
+    return (
+        scene.pk_meta is not None
+        and scene.pg_meta is None
+        and scene.leaf_max <= IVAL_LEAF
+    )
+
+
+def render_frame_fast_stats(scene, camera: Camera, width: int, height: int,
+                            opts: RenderOpts = RenderOpts()):
+    """render_frame_fast through the counter-instrumented kernel variants.
+
+    Returns (img [H, W, 3], stats dict of REAL in-kernel measurements —
+    the TreeStats rebuild, reference tree_stats.h:36-130 / GenInfo HUD):
+      nodes        traversal loop iterations (nodes popped)
+      leaves       leaves enqueued past the scalar interval culls
+      quarters     (leaf, quarter) pairs intersected after per-ray culls
+      tri_blocks   sum of leaf tri counts over processed quarters; one
+                   unit = up to IVAL_LEAF tris tested against a
+                   (QR, 128)-ray block
+      chunks       walk sync chunks
+      rays         rays traced (primary + per-light shadow wavefronts)
+    Not jitted end-to-end (the reference also treats stats as a slow
+    debug mode, tree_stats.h:12-33)."""
+    from ..ops.traverse_pallas import camera_trace_stats
+
+    dist, u, v, tri, dx, dy, dz, pstats = camera_trace_stats(
+        scene, camera, width, height)
+    stats_out = []
+    o3 = (camera.pos[0], camera.pos[1], camera.pos[2])
+    if not opts.shading:
+        idist = jnp.where((dist > 0.0) & (dist < BIG), 1.0 / dist, 0.0)
+        cr, cg, cb = idist * 20.0, idist * 250.0, idist * 2.0
+    else:
+        cr, cg, cb = _shade_and_light(
+            scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0,
+            stats_out=stats_out,
+        )
+    img = jnp.stack([cr, cg, cb], axis=0).reshape(
+        3, height // TILE, width // TILE, TILE, TILE
+    )
+    img = img.transpose(1, 3, 2, 4, 0).reshape(height, width, 3)
+
+    import numpy as np
+
+    tot = np.asarray(pstats, np.int64).sum(axis=0)
+    for st in stats_out:
+        tot = tot + np.asarray(st, np.int64).sum(axis=0)
+    n_lights = 0 if scene.lights is None else scene.lights.pos.shape[0]
+    stats = {
+        "nodes": int(tot[0]),
+        "leaves": int(tot[1]),
+        "quarters": int(tot[2]),
+        "tri_blocks": int(tot[3]),
+        "chunks": int(tot[4]),
+        "rays": width * height * (1 + (n_lights if opts.shadows else 0)),
+    }
+    return img, stats
 
 
 @partial(jax.jit, static_argnames=("width", "height"))

@@ -113,3 +113,58 @@ def city_scene(grid: int = 24, seed: int = 0) -> BaseScene:
     s.objects.append(_obj_from_tris(np.concatenate(tris, axis=0)))
     s.gen_normals()
     return s
+
+
+def terrain_scene(n: int = 724, extent: float = 100.0, seed: int = 0,
+                  octaves: int = 5) -> BaseScene:
+    """Fractal-noise heightfield of ``2*n^2`` triangles — the large-scene
+    benchmark stand-in for the reference's foot/thai meshes
+    (benchmark.txt:78-80, 101-104; those .obj files are not mounted).
+    n=724 gives ~1.05 Mtris, matching foot.obj's 1.06 Mtri scale."""
+    rng = np.random.default_rng(seed)
+    h = np.zeros((n + 1, n + 1), np.float32)
+    for o in range(octaves):
+        k = 4 * (2 ** o)
+        if k >= n:
+            break
+        coarse = rng.normal(0.0, extent * 0.04 / (2 ** o), (k + 1, k + 1))
+        yi = np.linspace(0, k, n + 1)
+        xi = np.linspace(0, k, n + 1)
+        y0 = np.clip(yi.astype(np.int64), 0, k - 1)
+        x0 = np.clip(xi.astype(np.int64), 0, k - 1)
+        fy = (yi - y0)[:, None]
+        fx = (xi - x0)[None, :]
+        c00 = coarse[np.ix_(y0, x0)]
+        c01 = coarse[np.ix_(y0, x0 + 1)]
+        c10 = coarse[np.ix_(y0 + 1, x0)]
+        c11 = coarse[np.ix_(y0 + 1, x0 + 1)]
+        h += ((1 - fy) * (1 - fx) * c00 + (1 - fy) * fx * c01
+              + fy * (1 - fx) * c10 + fy * fx * c11).astype(np.float32)
+
+    xs = np.linspace(-extent / 2, extent / 2, n + 1, dtype=np.float32)
+    zs = np.linspace(-extent / 2, extent / 2, n + 1, dtype=np.float32)
+    vx, vz = np.meshgrid(xs, zs, indexing="xy")
+    verts = np.stack([vx, h, vz], axis=-1).reshape(-1, 3)
+
+    idx = np.arange((n + 1) * (n + 1), dtype=np.int32).reshape(n + 1, n + 1)
+    a = idx[:-1, :-1].reshape(-1)
+    b = idx[:-1, 1:].reshape(-1)
+    c = idx[1:, 1:].reshape(-1)
+    d = idx[1:, :-1].reshape(-1)
+    tri_v = np.concatenate(
+        [np.stack([a, b, c], axis=1), np.stack([a, c, d], axis=1)], axis=0
+    ).astype(np.int32)
+
+    t = len(tri_v)
+    s = BaseScene()
+    s.objects.append(SceneObject(
+        verts=verts.astype(np.float32),
+        uvs=np.zeros((0, 2), np.float32),
+        normals=np.zeros((0, 3), np.float32),
+        tri_v=tri_v,
+        tri_vt=np.full((t, 3), -1, np.int32),
+        tri_vn=np.full((t, 3), -1, np.int32),
+        tri_mat=np.zeros(t, np.int32),
+    ))
+    s.gen_normals()
+    return s

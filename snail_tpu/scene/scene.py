@@ -72,6 +72,11 @@ class TracedScene:
     pk_meta: Optional[jnp.ndarray] = None
     pk_box: Optional[jnp.ndarray] = None
     pk_tris: Optional[jnp.ndarray] = None
+    # Two-level page tables for scenes over the SMEM node cap
+    # (bvh/pages.py): pk_meta/pk_box then hold the TOP tree and these the
+    # HBM-resident node pages. None => single-level scene.
+    pg_meta: Optional[jnp.ndarray] = None
+    pg_box: Optional[jnp.ndarray] = None
     # Component-planar (SoA) shading arrays for the packed fast path:
     # 16 flat (T,) arrays (n0.xyz, ne1.xyz, ne2.xyz, uv0.uv, uve1.uv,
     # uve2.uv, mat) — gathers of (T,) beat gathers of (T, 3) on TPU.
@@ -130,13 +135,24 @@ def make_traced_scene(
     if textures is not None:
         tex_atlas, tex_meta = textures
 
-    from ..ops.traverse_pallas import pack_scene_arrays
+    from ..ops.traverse_pallas import (
+        pack_scene_arrays,
+        pack_scene_arrays_paged,
+    )
 
+    pg_meta = pg_box = None
     try:
         pk_meta, pk_box, pk_tris = pack_scene_arrays(bvh, g)
         pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
     except ValueError:
-        pk_meta = pk_box = pk_tris = None  # too big; jnp fallback
+        try:  # over the SMEM node cap: two-level page layout
+            pk_meta, pk_box, pk_tris, pg_meta, pg_box = (
+                pack_scene_arrays_paged(bvh, g)
+            )
+            pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
+            pg_meta, pg_box = dev(pg_meta), dev(pg_box)
+        except ValueError:
+            pk_meta = pk_box = pk_tris = None  # jnp fallback
 
     sh_soa = tuple(
         dev(np.ascontiguousarray(arr[:, k]))
@@ -202,6 +218,8 @@ def make_traced_scene(
         pk_meta=pk_meta,
         pk_box=pk_box,
         pk_tris=pk_tris,
+        pg_meta=pg_meta,
+        pg_box=pg_box,
         sh_soa=sh_soa,
         sh_pack=dev(sh_pack),
         mat_pack=dev(mat_pack),
@@ -303,8 +321,10 @@ def load_scene(
                                    gen_normals)
     lo, hi = geom.bounds()
     name = os.path.splitext(os.path.basename(obj_path))[0]
+    method = os.environ.get("SNAIL_BVH_METHOD", "binned")
     bvh = build_or_load(
-        lo, hi, cache_dir=cache_dir, name=name, leaf_size=leaf_size
+        lo, hi, cache_dir=cache_dir, name=name, leaf_size=leaf_size,
+        method=method,
     )
 
     descs = []

@@ -165,3 +165,47 @@ def test_scaling_report_shape():
     assert rows[0]["devices"] == 1 and rows[1]["devices"] == 2
     assert rows[0]["efficiency"] == 1.0
     assert all(r["mrays"] > 0 for r in rows)
+
+
+def test_sharded_grads_match_single_device():
+    """1-device vs 8-device train_step_sharded must produce the same loss
+    and updated params (the gradient all-reduce correctness check the
+    north star demands; VERDICT r2 weak #7)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from snail_tpu.bvh import build_bvh
+    from snail_tpu.core.types import Camera, Light, RenderOpts
+    from snail_tpu.parallel.mesh import make_mesh, train_step_sharded
+    from snail_tpu.scene.procedural import cornell_scene
+    from snail_tpu.scene.scene import make_traced_scene
+
+    base = cornell_scene()
+    g = base.flatten()
+    lo, hi = g.bounds()
+    bvh = build_bvh(lo, hi, leaf_size=8)
+    lights = Light.make((0.0, 3.5, 0.0), (1.0, 0.9, 0.8), 30.0)
+    scene = make_traced_scene(g, bvh, lights=lights,
+                              backend="reference")
+    cam = Camera.look_at(pos=(0.0, 2.0, 6.0), target=(0.0, 1.5, 0.0))
+    w = h = 32
+    opts = RenderOpts(textures=False, reflections=False,
+                      transparency=False)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    params = {"tri_a": scene.tri_a, "mat_diffuse": scene.mat_diffuse}
+
+    results = []
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        loss, new_params = jax.jit(
+            lambda scene, params, target, mesh=mesh: train_step_sharded(
+                scene, params, target, cam, w, h, opts, mesh)
+        )(scene, params, target)
+        results.append((float(loss), jax.tree.map(np.asarray, new_params)))
+
+    (l1, p1), (l8, p8) = results
+    assert abs(l1 - l8) < 1e-5 * max(1.0, abs(l1)), (l1, l8)
+    for k in p1:
+        np.testing.assert_allclose(p1[k], p8[k], rtol=1e-4, atol=1e-7,
+                                   err_msg=k)

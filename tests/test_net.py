@@ -127,3 +127,66 @@ def test_loopback_render_service():
     ))
     # u8 equality modulo rounding (compare_img mean check + stronger)
     assert np.mean(np.abs(img.astype(int) - ref.astype(int))) < 1.0
+
+
+def test_loopback_measured_stats():
+    """gVals[2] (stats toggle) must return MEASURED in-kernel counters
+    from the server, matching a direct run of the instrumented kernels
+    (VERDICT r2 item 5: no fabricated TreeStats on the wire)."""
+    import threading
+
+    from snail_tpu.apps.server import serve_connection
+    from snail_tpu.core.types import Camera, Light, RenderOpts
+    from snail_tpu.ops.traverse_pallas import QR, RAY_LANE
+    from snail_tpu.render.fast import render_frame_fast_stats
+    from snail_tpu.scene.scene import load_scene
+
+    srv_sock, cli_sock = socket.socketpair()
+    err = []
+
+    def server():
+        try:
+            serve_connection(srv_sock, "/root/reference/scenes",
+                             cache_dir=None)
+        except Exception as e:
+            err.append(e)
+        finally:
+            srv_sock.close()
+
+    th = threading.Thread(target=server)
+    th.start()
+
+    protocol.send_json(cli_sock,
+                       protocol.LoadModel("box.obj", 64, 64).to_json())
+    ready = protocol.recv_json(cli_sock)
+    assert ready["type"] == "model_ready"
+
+    light = {"pos": [0.0, 8.0, 0.0], "color": [1, 1, 1], "radius": 40.0}
+    req = protocol.FrameRequest(
+        cam_pos=(3.0, 2.5, 4.0), cam_target=(0.0, 0.0, 0.0),
+        lights=[light],
+        gvals={"2": True, "reflections": False, "transparency": False,
+               "textures": False},
+    )
+    protocol.send_json(cli_sock, req.to_json())
+    list(protocol.recv_parts(cli_sock))
+    stats = protocol.recv_json(cli_sock)
+    protocol.send_json(cli_sock, {"type": "finish", "finish": True})
+    th.join()
+    cli_sock.close()
+    assert not err, err
+
+    assert stats["measured"] is True
+    assert stats["loop_iters"] > 0 and stats["intersects"] > 0
+
+    # must equal a direct run of the same instrumented kernels
+    scene = load_scene(
+        "/root/reference/scenes/box.obj", cache_dir=None,
+        lights=Light.make((0.0, 8.0, 0.0), (1, 1, 1), 40.0),
+    )
+    cam = Camera.look_at(pos=(3.0, 2.5, 4.0), target=(0.0, 0.0, 0.0))
+    opts = RenderOpts(stats=True, reflections=False, transparency=False,
+                      textures=False)
+    _, k = render_frame_fast_stats(scene, cam, 64, 64, opts)
+    assert stats["loop_iters"] == k["nodes"]
+    assert stats["intersects"] == k["tri_blocks"] * QR * RAY_LANE

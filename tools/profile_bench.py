@@ -3,7 +3,11 @@
 Breaks feline 1024x1024 1-light forward into: primary-only camera trace,
 shadow any-hit pass, full frame, and isolates the XLA shading cost.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

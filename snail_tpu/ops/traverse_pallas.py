@@ -83,10 +83,10 @@ LEAF_PAD = 64  # leaf DMA granule (rows); builder leaf_size must be <= this
 IVAL_LEAF = int(os.environ.get("SNAIL_IVAL_LEAF", 16))  # interval-kernel
 # leaf granule; the counters (tools/measure_counters.py) show the walk is
 # scalar-bound, so leaf size trades scalar node visits vs VPU tri tests
-NBUF = int(os.environ.get("SNAIL_NBUF", 8))  # leaf DMA ring slots
+NBUF = int(os.environ.get("SNAIL_NBUF", 16))  # leaf DMA ring slots
 # (latency hiding, spu/base.h:85-135 analogue); also the chunk size of the
 # one vector<->scalar sync, so bigger rings mean fewer sync stalls
-QR = int(os.environ.get("SNAIL_QR", 8))  # quarter rows: sub-packet granule
+QR = int(os.environ.get("SNAIL_QR", 16))  # quarter rows: sub-packet granule
 # (one (8,128) vreg block) for per-leaf ray masking — leaves usually cover
 # a fraction of the 64x64 tile, so intersections run only on the vreg
 # blocks whose slab test passed (counters: 80% of enqueued leaves die to
@@ -646,6 +646,125 @@ def _box6(box_ref, node):
     return tuple(box_ref[b + k] for k in range(6))
 
 
+# --- dense node-mask pre-pass ---------------------------------------------
+# The scalar interval test (~45 scalar ops) ran TWICE per node visit and
+# dominated the walk (counters: ~90k pops/frame on feline 1024^2, walk =
+# 61% of kernel time). Both hot kernels are shared-origin, so the test
+# depends only on per-PACKET scalars (origin, idir interval, bound) — it
+# can be evaluated for ALL nodes at once on the VPU as dense math (the
+# node boxes are a dense array; no gather), bit-packed, and handed to the
+# scalar walk as an SMEM word table: one visit then costs two ~6-op bit
+# reads instead of two ~45-op tests. The walk keeps near-first ordering
+# and the evolving packet bound keeps pruning leaves in the per-chunk
+# vector culls; only the node-level distance pruning is lost (measured
+# negligible: the mask still prunes laterally, which is where the 76%
+# leaf kill rate came from).
+
+_NMASK = os.environ.get("SNAIL_NMASK", "1") != "0"
+
+
+def _mask_words(boxf, o, bnds, maxb0):
+    """Per-(packet, node) conservative interval test, dense on the VPU.
+
+    boxf (6N,) f32 node boxes; o (3,) shared origin scalars; bnds 3x
+    (im (P,), iM (P,), span (P,) bool) idir intervals; maxb0 (P,) initial
+    packet bound. Returns (P, NV, 128) i32 words, NV = ceil(N/1024);
+    bit s of word [p, a, l] = test result for node a*1024 + s*128 + l
+    (sublane-packed so the kernel read is shift+mask on one word)."""
+    n = boxf.shape[0] // 6
+    nv = -(-n // 1024)
+    box = boxf.reshape(n, 6)
+    p = bnds[0][0].shape[0]
+    tn = jnp.zeros((p, n), jnp.float32)
+    tf = jnp.broadcast_to(maxb0[:, None], (p, n))
+    for k in range(3):
+        im, iM, span = bnds[k]
+        a = (box[:, k] - o[k])[None, :]
+        c = (box[:, 3 + k] - o[k])[None, :]
+        p1 = a * im[:, None]
+        p2 = a * iM[:, None]
+        p3 = c * im[:, None]
+        p4 = c * iM[:, None]
+        tnk = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+        tfk = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+        sp = span[:, None]
+        tn = jnp.maximum(tn, jnp.where(sp, -BIG, tnk))
+        tf = jnp.minimum(tf, jnp.where(sp, BIG, tfk))
+    ok = (tn <= tf) & (tf > 0.0)
+    okp = jnp.pad(ok, ((0, 0), (0, nv * 1024 - n)))
+    w = okp.astype(jnp.int32).reshape(p, nv, 8, 128)
+    s = jnp.arange(8, dtype=jnp.int32)[None, None, :, None]
+    return jnp.sum(jnp.left_shift(w, s), axis=2).astype(jnp.int32)
+
+
+def _nm_bit(nm_ref, n):
+    """Scalar read of node n's pre-test bit from the SMEM word block."""
+    w = nm_ref[0, jax.lax.shift_right_logical(n, 10), n & 127]
+    return (
+        jax.lax.shift_right_logical(
+            w, jax.lax.shift_right_logical(n, 7) & 7
+        ) & 1
+    ) > 0
+
+
+def _camera_packet_bounds(cam, boxf, p):
+    """Per-packet idir intervals + initial bound for the mask pre-pass,
+    mirroring _camera_ival_impl's in-kernel raygen (same f32 formulas, so
+    the mask is exactly the test the walk would have computed)."""
+    tiles_x = cam[15].astype(jnp.int32)
+    k = jnp.arange(RAY_SUB * RAY_LANE, dtype=jnp.int32)
+    pid = jnp.arange(p, dtype=jnp.int32)
+    tx = (pid % tiles_x)[:, None]
+    ty = (pid // tiles_x)[:, None]
+    px = (tx * TILE + k[None, :] % TILE).astype(jnp.float32)
+    py = (ty * TILE + k[None, :] // TILE).astype(jnp.float32)
+    x = (px + 0.5 - cam[12]) * cam[14]
+    y = (cam[13] - py - 0.5) * cam[14]
+    dx = cam[0] * x + cam[3] * y + cam[6]
+    dy = cam[1] * x + cam[4] * y + cam[7]
+    dz = cam[2] * x + cam[5] * y + cam[8]
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+    o = (cam[9], cam[10], cam[11])
+    bnds, idirs = [], []
+    for c in (dx, dy, dz):
+        ic = 1.0 / (c + 1e-8)
+        idirs.append(ic)
+        im = jnp.min(ic, axis=1)
+        iM = jnp.max(ic, axis=1)
+        bnds.append((im, iM, (im < 0.0) & (iM > 0.0)))
+    t1 = [(boxf[kk] - o[kk]) * idirs[kk] for kk in range(3)]
+    t2 = [(boxf[3 + kk] - o[kk]) * idirs[kk] for kk in range(3)]
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1[0], t2[0]), jnp.maximum(t1[1], t2[1])),
+        jnp.maximum(t1[2], t2[2]),
+    )
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1[0], t2[0]), jnp.minimum(t1[1], t2[1])),
+        jnp.minimum(t1[2], t2[2]),
+    )
+    t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
+    return o, bnds, jnp.max(t_exit, axis=1)
+
+
+def _shadow_packet_bounds(orig, dx, dy, dz, tm):
+    """Per-packet bounds for the shadow mask pre-pass (shared origin)."""
+    o = (orig[0], orig[1], orig[2])
+    bnds = []
+    for c in (dx, dy, dz):
+        ic = 1.0 / (c + 1e-8)
+        im = jnp.min(ic, axis=(1, 2))
+        iM = jnp.max(ic, axis=(1, 2))
+        bnds.append((im, iM, (im < 0.0) & (iM > 0.0)))
+    limit = jnp.where(tm >= 0.0, tm, -BIG)
+    return o, bnds, jnp.max(limit, axis=(1, 2))
+
+
+def _nm_spec(nv):
+    return pl.BlockSpec((1, nv, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM)
+
+
 def _ival_test(box_ref, node, o, bnds, maxb):
     return _ival_test_vals(_box6(box_ref, node), o, bnds, maxb)
 
@@ -679,7 +798,8 @@ PAGE_BASE = 1 << 26  # stack ids >= PAGE_BASE are page-local (paged walk)
 def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
-                   qlist_ref, lbox_ref, stats_ref=None, pages=None):
+                   qlist_ref, lbox_ref, stats_ref=None, pages=None,
+                   nm_ref=None):
     """Chunked two-phase interval walk.
 
     Phase A (pure scalar): pop nodes, interval-test children, queue up to
@@ -794,8 +914,28 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
             bit = fnode ^ sgn
             near = child + bit
             far = child + 1 - bit
-            pf = _ival_test_vals(_node_box6(far), o, bnds, maxb)
-            pn = _ival_test_vals(_node_box6(near), o, bnds, maxb)
+            if nm_ref is None:
+                pf = _ival_test_vals(_node_box6(far), o, bnds, maxb)
+                pn = _ival_test_vals(_node_box6(near), o, bnds, maxb)
+            elif pages is None:
+                # dense pre-pass did the interval math on the VPU
+                pf = _nm_bit(nm_ref, far)
+                pn = _nm_bit(nm_ref, near)
+            else:
+                # mask covers the SMEM top table only; page-local nodes
+                # (transient, paged over) keep the scalar test
+                pf = jax.lax.cond(
+                    in_pg,
+                    lambda: _ival_test_vals(
+                        _box6(pbox_ref, far), o, bnds, maxb),
+                    lambda: _nm_bit(nm_ref, far),
+                )
+                pn = jax.lax.cond(
+                    in_pg,
+                    lambda: _ival_test_vals(
+                        _box6(pbox_ref, near), o, bnds, maxb),
+                    lambda: _nm_bit(nm_ref, near),
+                )
             if pages is not None:
                 base = jnp.where(in_pg, PAGE_BASE, 0)
                 near = base + near
@@ -1030,7 +1170,7 @@ def _shadow_ival_drain(d_refs, tm_ref, limit, tscratch, blocked_ref):
     return lim_fn, process_fn
 
 
-def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
+def _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
@@ -1039,6 +1179,8 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
     """Primary rays: camera-fused raygen + decoupled interval traversal.
 
     cam layout as _camera_kernel (f32[16])."""
+    if not _NMASK:  # A/B: fall back to in-walk scalar interval tests
+        nm_ref = None
     pid = pl.program_id(0)
     tiles_x = cam_ref[15].astype(jnp.int32)
     tx = pid % tiles_x
@@ -1099,7 +1241,7 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
     _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, jnp.max(t_exit),
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
-                   qlist_ref, lbox_ref, stats_ref, pages)
+                   qlist_ref, lbox_ref, stats_ref, pages, nm_ref)
 
     dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
     u_ref[0] = bu_ref[:, :]
@@ -1107,13 +1249,13 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
     tri_out[0] = tri_ref[:, :]
 
 
-def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
+def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
                         dist_ref, u_ref, v_ref, tri_out,
                         dx_ref, dy_ref, dz_ref,
                         best_ref, bu_ref, bv_ref, tri_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
                         lbox_ref, sems):
-    _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
+    _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
@@ -1121,7 +1263,7 @@ def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, tris_hbm,
                       lbox_ref, sems, None)
 
 
-def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, tris_hbm,
+def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
                               pg_meta_hbm, pg_box_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref,
@@ -1129,7 +1271,7 @@ def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, tris_hbm,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
                               pmeta_ref, pbox_ref, psem):
-    _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
+    _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
@@ -1138,14 +1280,14 @@ def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, tris_hbm,
                       (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem))
 
 
-def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, tris_hbm,
+def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref, st_ref,
                               best_ref, bu_ref, bv_ref, tri_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems):
     """Counter-instrumented variant (TreeStats, tree_stats.h:36-130)."""
-    _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
+    _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
@@ -1153,12 +1295,14 @@ def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, tris_hbm,
                       lbox_ref, sems, st_ref)
 
 
-def _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
+def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
                       lbox_ref, sems, stats_ref, pages=None):
     """Shadow any-hit from the shared light origin, interval traversal."""
+    if not _NMASK:  # A/B: fall back to in-walk scalar interval tests
+        nm_ref = None
     o = (orig_ref[0], orig_ref[1], orig_ref[2])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
     tmax = tm_ref[0]
@@ -1176,30 +1320,30 @@ def _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
     _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
-                   qlist_ref, lbox_ref, stats_ref, pages)
+                   qlist_ref, lbox_ref, stats_ref, pages, nm_ref)
     out_ref[0] = blocked_ref[:, :]
 
 
-def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref,
+def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref, nm_ref,
                         dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                         out_ref, blocked_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
                         lbox_ref, sems):
-    _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
+    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
                       lbox_ref, sems, None)
 
 
-def _shadow_ival_kernel_paged(tbl_ref, box_ref, orig_ref,
+def _shadow_ival_kernel_paged(tbl_ref, box_ref, orig_ref, nm_ref,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               pg_meta_hbm, pg_box_hbm,
                               out_ref, blocked_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
                               pmeta_ref, pbox_ref, psem):
-    _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
+    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
@@ -1207,12 +1351,12 @@ def _shadow_ival_kernel_paged(tbl_ref, box_ref, orig_ref,
                       (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem))
 
 
-def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref,
+def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref, nm_ref,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               out_ref, st_ref, blocked_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems):
-    _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
+    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
@@ -1242,12 +1386,28 @@ def _ival_scratches(extra_vec: int, page_shapes=None):
     return base
 
 
+def _camera_mask(cam, box, p):
+    """Mask words for the camera kernel (or a dummy block when off)."""
+    if _NMASK:
+        o, bnds, maxb0 = _camera_packet_bounds(cam, box, p)
+        return _mask_words(box, o, bnds, maxb0)
+    return jnp.zeros((p, 1, 128), jnp.int32)
+
+
+def _shadow_mask(orig, box, dx, dy, dz, tm):
+    if _NMASK:
+        o, bnds, maxb0 = _shadow_packet_bounds(orig, dx, dy, dz, tm)
+        return _mask_words(box, o, bnds, maxb0)
+    return jnp.zeros((dx.shape[0], 1, 128), jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("p",))
 def _run_camera_ival(meta, box, cam, tris, p):
+    nm = _camera_mask(cam, box, p)
     return pl.pallas_call(
         _camera_ival_kernel,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(),
+        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1]),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk()] * 7,
         out_shape=(
@@ -1261,16 +1421,18 @@ def _run_camera_ival(meta, box, cam, tris, p):
             + _ival_scratches(0)
         ),
         interpret=_interpret(),
-    )(meta, box, cam, tris)
+    )(meta, box, cam, nm, tris)
 
 
 @jax.jit
 def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
     p = dx.shape[0]
+    nm = _shadow_mask(orig, box, dx, dy, dz, tm)
     return pl.pallas_call(
         _shadow_ival_kernel,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem()] + [_blk()] * 4
+        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1])]
+        + [_blk()] * 4
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=_blk(),
         out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
@@ -1279,15 +1441,16 @@ def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
             + _ival_scratches(0)
         ),
         interpret=_interpret(),
-    )(meta, box, orig, dx, dy, dz, tm, tris)
+    )(meta, box, orig, nm, dx, dy, dz, tm, tris)
 
 
 @partial(jax.jit, static_argnames=("p",))
 def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
+    nm = _camera_mask(cam, box, p)
     return pl.pallas_call(
         _camera_ival_kernel_paged,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem()]
+        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1])]
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         out_specs=[_blk()] * 7,
         out_shape=(
@@ -1302,17 +1465,19 @@ def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
                 0, (pg_meta.shape[1], pg_box.shape[1]))
         ),
         interpret=_interpret(),
-    )(meta, box, cam, tris, pg_meta, pg_box)
+    )(meta, box, cam, nm, tris, pg_meta, pg_box)
 
 
 @jax.jit
 def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
                            pg_meta, pg_box):
     p = dx.shape[0]
+    nm = _shadow_mask(orig, box, dx, dy, dz, tm)
     return pl.pallas_call(
         _shadow_ival_kernel_paged,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem()] + [_blk()] * 4
+        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1])]
+        + [_blk()] * 4
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         out_specs=_blk(),
         out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
@@ -1322,7 +1487,7 @@ def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
                 0, (pg_meta.shape[1], pg_box.shape[1]))
         ),
         interpret=_interpret(),
-    )(meta, box, orig, dx, dy, dz, tm, tris, pg_meta, pg_box)
+    )(meta, box, orig, nm, dx, dy, dz, tm, tris, pg_meta, pg_box)
 
 
 def _stats_spec():
@@ -1332,10 +1497,11 @@ def _stats_spec():
 
 @partial(jax.jit, static_argnames=("p",))
 def _run_camera_ival_stats(meta, box, cam, tris, p):
+    nm = _camera_mask(cam, box, p)
     return pl.pallas_call(
         _camera_ival_kernel_stats,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(),
+        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1]),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk()] * 7 + [_stats_spec()],
         out_shape=(
@@ -1350,16 +1516,18 @@ def _run_camera_ival_stats(meta, box, cam, tris, p):
             + _ival_scratches(0)
         ),
         interpret=_interpret(),
-    )(meta, box, cam, tris)
+    )(meta, box, cam, nm, tris)
 
 
 @jax.jit
 def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
     p = dx.shape[0]
+    nm = _shadow_mask(orig, box, dx, dy, dz, tm)
     return pl.pallas_call(
         _shadow_ival_kernel_stats,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem()] + [_blk()] * 4
+        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1])]
+        + [_blk()] * 4
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk(), _stats_spec()],
         out_shape=[
@@ -1371,7 +1539,7 @@ def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
             + _ival_scratches(0)
         ),
         interpret=_interpret(),
-    )(meta, box, orig, dx, dy, dz, tm, tris)
+    )(meta, box, orig, nm, dx, dy, dz, tm, tris)
 
 
 # ---------------------------------------------------------------------------

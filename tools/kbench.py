@@ -34,14 +34,19 @@ def main():
         pos=tuple(center + np.array([0.45, 0.35, 0.9]) * ext),
         target=tuple(center))
 
-    def timeit(fn, n=10):
+    def timeit(fn, n=5, batches=4):
+        """Min over batch means (batches pipeline device dispatch;
+        min rejects tunnel/tenant interference spikes)."""
         out = fn()
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / n
+        best = float("inf")
+        for _ in range(batches):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn()
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best
 
     cfg = {k: v for k, v in os.environ.items() if k.startswith("SNAIL_")}
     if which in ("primary", "both"):

@@ -663,106 +663,61 @@ def _box6(box_ref, node):
 _NMASK = os.environ.get("SNAIL_NMASK", "1") != "0"
 
 
-def _mask_words(boxf, o, bnds, maxb0):
-    """Per-(packet, node) conservative interval test, dense on the VPU.
-
-    boxf (6N,) f32 node boxes; o (3,) shared origin scalars; bnds 3x
-    (im (P,), iM (P,), span (P,) bool) idir intervals; maxb0 (P,) initial
-    packet bound. Returns (P, NV, 128) i32 words, NV = ceil(N/1024);
-    bit s of word [p, a, l] = test result for node a*1024 + s*128 + l
-    (sublane-packed so the kernel read is shift+mask on one word)."""
-    n = boxf.shape[0] // 6
+def _boxv_of(box):
+    """Dense (6, NV, 8, 128) component-planar node boxes for the in-kernel
+    mask prologue; node n lives at [:, n>>10, (n>>7)&7, n&127]. Derived
+    from the SMEM box table per call (one transpose, ~0.1 ms/frame)."""
+    if not _NMASK:
+        return jnp.zeros((6, 1, 8, 128), jnp.float32)
+    n = box.shape[0] // 6
     nv = -(-n // 1024)
-    box = boxf.reshape(n, 6)
-    p = bnds[0][0].shape[0]
-    tn = jnp.zeros((p, n), jnp.float32)
-    tf = jnp.broadcast_to(maxb0[:, None], (p, n))
-    for k in range(3):
-        im, iM, span = bnds[k]
-        a = (box[:, k] - o[k])[None, :]
-        c = (box[:, 3 + k] - o[k])[None, :]
-        p1 = a * im[:, None]
-        p2 = a * iM[:, None]
-        p3 = c * im[:, None]
-        p4 = c * iM[:, None]
-        tnk = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
-        tfk = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
-        sp = span[:, None]
-        tn = jnp.maximum(tn, jnp.where(sp, -BIG, tnk))
-        tf = jnp.minimum(tf, jnp.where(sp, BIG, tfk))
-    ok = (tn <= tf) & (tf > 0.0)
-    okp = jnp.pad(ok, ((0, 0), (0, nv * 1024 - n)))
-    w = okp.astype(jnp.int32).reshape(p, nv, 8, 128)
-    s = jnp.arange(8, dtype=jnp.int32)[None, None, :, None]
-    return jnp.sum(jnp.left_shift(w, s), axis=2).astype(jnp.int32)
+    b = box.reshape(n, 6).T
+    b = jnp.pad(b, ((0, 0), (0, nv * 1024 - n)))
+    return b.reshape(6, nv, 8, 128)
+
+
+def _mask_prologue(boxv_ref, o, bnds, maxb0, nmv_ref, nms_ref, nmsem):
+    """In-kernel dense node pre-test: interval-test ALL nodes on the VPU
+    (the per-packet test depends only on shared-origin scalars), pack one
+    bit per node (sublane = bit, lane = word) and DMA the word table into
+    SMEM, where the walk reads a bit (~6 scalar ops) instead of running
+    the ~45-op scalar interval test twice per visit."""
+    nv = boxv_ref.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_LANE), 0)
+    for a in range(nv):
+        tn = jnp.zeros((8, RAY_LANE), jnp.float32)
+        tf = jnp.zeros((8, RAY_LANE), jnp.float32) + maxb0
+        for k in range(3):
+            im, iM, span = bnds[k]
+            lo = boxv_ref[k, a] - o[k]
+            hi = boxv_ref[3 + k, a] - o[k]
+            p1 = lo * im
+            p2 = lo * iM
+            p3 = hi * im
+            p4 = hi * iM
+            tnk = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+            tfk = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+            tn = jnp.maximum(tn, jnp.where(span, -BIG, tnk))
+            tf = jnp.minimum(tf, jnp.where(span, BIG, tfk))
+        ok = ((tn <= tf) & (tf > 0.0)).astype(jnp.int32)
+        w = jnp.left_shift(ok, sub)
+        w = w | pltpu.roll(w, 4, 0)
+        w = w | pltpu.roll(w, 2, 0)
+        w = w | pltpu.roll(w, 1, 0)
+        nmv_ref[a:a + 1, :] = w[0:1, :]
+    cp = pltpu.make_async_copy(nmv_ref, nms_ref, nmsem)
+    cp.start()
+    cp.wait()
 
 
 def _nm_bit(nm_ref, n):
-    """Scalar read of node n's pre-test bit from the SMEM word block."""
-    w = nm_ref[0, jax.lax.shift_right_logical(n, 10), n & 127]
+    """Scalar read of node n's pre-test bit from the SMEM word table."""
+    w = nm_ref[jax.lax.shift_right_logical(n, 10), n & 127]
     return (
         jax.lax.shift_right_logical(
             w, jax.lax.shift_right_logical(n, 7) & 7
         ) & 1
     ) > 0
-
-
-def _camera_packet_bounds(cam, boxf, p):
-    """Per-packet idir intervals + initial bound for the mask pre-pass,
-    mirroring _camera_ival_impl's in-kernel raygen (same f32 formulas, so
-    the mask is exactly the test the walk would have computed)."""
-    tiles_x = cam[15].astype(jnp.int32)
-    k = jnp.arange(RAY_SUB * RAY_LANE, dtype=jnp.int32)
-    pid = jnp.arange(p, dtype=jnp.int32)
-    tx = (pid % tiles_x)[:, None]
-    ty = (pid // tiles_x)[:, None]
-    px = (tx * TILE + k[None, :] % TILE).astype(jnp.float32)
-    py = (ty * TILE + k[None, :] // TILE).astype(jnp.float32)
-    x = (px + 0.5 - cam[12]) * cam[14]
-    y = (cam[13] - py - 0.5) * cam[14]
-    dx = cam[0] * x + cam[3] * y + cam[6]
-    dy = cam[1] * x + cam[4] * y + cam[7]
-    dz = cam[2] * x + cam[5] * y + cam[8]
-    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-    dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
-    o = (cam[9], cam[10], cam[11])
-    bnds, idirs = [], []
-    for c in (dx, dy, dz):
-        ic = 1.0 / (c + 1e-8)
-        idirs.append(ic)
-        im = jnp.min(ic, axis=1)
-        iM = jnp.max(ic, axis=1)
-        bnds.append((im, iM, (im < 0.0) & (iM > 0.0)))
-    t1 = [(boxf[kk] - o[kk]) * idirs[kk] for kk in range(3)]
-    t2 = [(boxf[3 + kk] - o[kk]) * idirs[kk] for kk in range(3)]
-    tf = jnp.minimum(
-        jnp.minimum(jnp.maximum(t1[0], t2[0]), jnp.maximum(t1[1], t2[1])),
-        jnp.maximum(t1[2], t2[2]),
-    )
-    tn = jnp.maximum(
-        jnp.maximum(jnp.minimum(t1[0], t2[0]), jnp.minimum(t1[1], t2[1])),
-        jnp.minimum(t1[2], t2[2]),
-    )
-    t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
-    return o, bnds, jnp.max(t_exit, axis=1)
-
-
-def _shadow_packet_bounds(orig, dx, dy, dz, tm):
-    """Per-packet bounds for the shadow mask pre-pass (shared origin)."""
-    o = (orig[0], orig[1], orig[2])
-    bnds = []
-    for c in (dx, dy, dz):
-        ic = 1.0 / (c + 1e-8)
-        im = jnp.min(ic, axis=(1, 2))
-        iM = jnp.max(ic, axis=(1, 2))
-        bnds.append((im, iM, (im < 0.0) & (iM > 0.0)))
-    limit = jnp.where(tm >= 0.0, tm, -BIG)
-    return o, bnds, jnp.max(limit, axis=(1, 2))
-
-
-def _nm_spec(nv):
-    return pl.BlockSpec((1, nv, 128), lambda i: (i, 0, 0),
-                        memory_space=pltpu.SMEM)
 
 
 def _ival_test(box_ref, node, o, bnds, maxb):
@@ -976,15 +931,12 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
         )
         return sp, nq, maxb
 
-    def outer_body(carry):
-        sp, maxb = carry
-        sp, nq, _ = jax.lax.while_loop(
-            lambda c: (c[0] > 0) & (c[1] < NBUF), walk_body, (sp, 0, maxb)
-        )
-        # batched per-leaf per-quarter culls + stale bound: one sync point
-        # per chunk. Bit (i*NQ + q) of the packed words = "leaf slot i has
-        # a passing ray in vreg row block q"; the variable-shift encode
-        # keeps the whole pack one OR-reduction.
+    def chunk_drain(nq, maxb):
+        """Phase B: one vector->scalar sync per chunk — batched per-leaf
+        per-quarter culls + the stale packet bound, then drain surviving
+        (leaf, quarter) pairs. Bit (i*NQ + q) of the packed words = "leaf
+        slot i has a passing ray in vreg row block q"; the variable-shift
+        encode keeps the whole pack one OR-reduction."""
         lim = lim_fn()
         if _PROF in ("noslab", "nosync", "nodma"):  # ablation: no culls
             for w in range(_BITS_WORDS):
@@ -1041,7 +993,7 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                         stats_ref[0, 0, 3] = (
                             stats_ref[0, 0, 3] + lq_ref[i * 3 + 1]
                         )
-            return sp, newb
+            return newb
 
         # scalar-compact the surviving (leaf, quarter) pairs, then drain
         # them in ONE dynamically-bounded loop. Alternatives measured on
@@ -1076,7 +1028,14 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
         if not _PROF:
             jax.lax.fori_loop(0, n_liv, drain_body, 0)
 
-        return sp, newb
+        return newb
+
+    def outer_body(carry):
+        sp, maxb = carry
+        sp, nq, _ = jax.lax.while_loop(
+            lambda c: (c[0] > 0) & (c[1] < NBUF), walk_body, (sp, 0, maxb)
+        )
+        return sp, chunk_drain(nq, maxb)
 
     root_ok = _ival_test(box_ref, 0, o, bnds, maxb0)
     stack_ref[0] = 0
@@ -1170,17 +1129,16 @@ def _shadow_ival_drain(d_refs, tm_ref, limit, tscratch, blocked_ref):
     return lim_fn, process_fn
 
 
-def _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
+def _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, stats_ref, pages=None):
+                      lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                      stats_ref, pages=None):
     """Primary rays: camera-fused raygen + decoupled interval traversal.
 
     cam layout as _camera_kernel (f32[16])."""
-    if not _NMASK:  # A/B: fall back to in-walk scalar interval tests
-        nm_ref = None
     pid = pl.program_id(0)
     tiles_x = cam_ref[15].astype(jnp.int32)
     tx = pid % tiles_x
@@ -1236,9 +1194,15 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
     dz_ref[0] = dz
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
 
+    maxb0 = jnp.max(t_exit)
+    if _NMASK:
+        _mask_prologue(boxv_ref, o, bnds, maxb0, nmv_ref, nms_ref, nmsem)
+        nm_ref = nms_ref
+    else:  # A/B: fall back to in-walk scalar interval tests
+        nm_ref = None
     lim_fn, process_fn = _closest_ival_drain(
         d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
-    _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, jnp.max(t_exit),
+    _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
                    qlist_ref, lbox_ref, stats_ref, pages, nm_ref)
@@ -1249,60 +1213,61 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
     tri_out[0] = tri_ref[:, :]
 
 
-def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
+def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                         dist_ref, u_ref, v_ref, tri_out,
                         dx_ref, dy_ref, dz_ref,
                         best_ref, bu_ref, bv_ref, tri_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                        lbox_ref, sems):
-    _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
+                        lbox_ref, sems, nmv_ref, nms_ref, nmsem):
+    _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, None)
+                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
 
 
-def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
+def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                               pg_meta_hbm, pg_box_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref,
                               best_ref, bu_ref, bv_ref, tri_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
-                              pmeta_ref, pbox_ref, psem):
-    _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
+                              pmeta_ref, pbox_ref, psem,
+                              nmv_ref, nms_ref, nmsem):
+    _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, None,
+                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, None,
                       (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem))
 
 
-def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
+def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref, st_ref,
                               best_ref, bu_ref, bv_ref, tri_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
-                              qlist_ref, lbox_ref, sems):
+                              qlist_ref, lbox_ref, sems,
+                              nmv_ref, nms_ref, nmsem):
     """Counter-instrumented variant (TreeStats, tree_stats.h:36-130)."""
-    _camera_ival_impl(tbl_ref, box_ref, cam_ref, nm_ref, tris_hbm,
+    _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, st_ref)
+                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, st_ref)
 
 
-def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
+def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, stats_ref, pages=None):
+                      lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                      stats_ref, pages=None):
     """Shadow any-hit from the shared light origin, interval traversal."""
-    if not _NMASK:  # A/B: fall back to in-walk scalar interval tests
-        nm_ref = None
     o = (orig_ref[0], orig_ref[1], orig_ref[2])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
     tmax = tm_ref[0]
@@ -1314,6 +1279,11 @@ def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
     limit = jnp.where(active, tmax, -BIG)
     maxb0 = jnp.max(limit)
 
+    if _NMASK:
+        _mask_prologue(boxv_ref, o, bnds, maxb0, nmv_ref, nms_ref, nmsem)
+        nm_ref = nms_ref
+    else:  # A/B: fall back to in-walk scalar interval tests
+        nm_ref = None
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
     lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
                                             tscratch, blocked_ref)
@@ -1324,46 +1294,48 @@ def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
     out_ref[0] = blocked_ref[:, :]
 
 
-def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref, nm_ref,
+def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref, boxv_ref,
                         dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                         out_ref, blocked_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                        lbox_ref, sems):
-    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
+                        lbox_ref, sems, nmv_ref, nms_ref, nmsem):
+    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, None)
+                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
 
 
-def _shadow_ival_kernel_paged(tbl_ref, box_ref, orig_ref, nm_ref,
+def _shadow_ival_kernel_paged(tbl_ref, box_ref, orig_ref, boxv_ref,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               pg_meta_hbm, pg_box_hbm,
                               out_ref, blocked_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
-                              pmeta_ref, pbox_ref, psem):
-    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
+                              pmeta_ref, pbox_ref, psem,
+                              nmv_ref, nms_ref, nmsem):
+    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, None,
+                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, None,
                       (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem))
 
 
-def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref, nm_ref,
+def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref, boxv_ref,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               out_ref, st_ref, blocked_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
-                              qlist_ref, lbox_ref, sems):
-    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, nm_ref,
+                              qlist_ref, lbox_ref, sems,
+                              nmv_ref, nms_ref, nmsem):
+    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, st_ref)
+                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, st_ref)
 
 
-def _ival_scratches(extra_vec: int, page_shapes=None):
+def _ival_scratches(extra_vec: int, page_shapes=None, nv=1):
     base = [
         pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)
         for _ in range(extra_vec)
@@ -1383,31 +1355,21 @@ def _ival_scratches(extra_vec: int, page_shapes=None):
             pltpu.SMEM((box_len,), jnp.float32),  # page slot: boxes
             pltpu.SemaphoreType.DMA((2,)),  # page meta/box DMAs
         ]
+    base += [
+        pltpu.VMEM((nv, 128), jnp.int32),  # mask prologue words (VPU out)
+        pltpu.SMEM((nv, 128), jnp.int32),  # mask words (walk reads)
+        pltpu.SemaphoreType.DMA(()),  # mask VMEM->SMEM copy
+    ]
     return base
-
-
-def _camera_mask(cam, box, p):
-    """Mask words for the camera kernel (or a dummy block when off)."""
-    if _NMASK:
-        o, bnds, maxb0 = _camera_packet_bounds(cam, box, p)
-        return _mask_words(box, o, bnds, maxb0)
-    return jnp.zeros((p, 1, 128), jnp.int32)
-
-
-def _shadow_mask(orig, box, dx, dy, dz, tm):
-    if _NMASK:
-        o, bnds, maxb0 = _shadow_packet_bounds(orig, dx, dy, dz, tm)
-        return _mask_words(box, o, bnds, maxb0)
-    return jnp.zeros((dx.shape[0], 1, 128), jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("p",))
 def _run_camera_ival(meta, box, cam, tris, p):
-    nm = _camera_mask(cam, box, p)
+    boxv = _boxv_of(box)
     return pl.pallas_call(
         _camera_ival_kernel,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1]),
+        in_specs=[_smem(), _smem(), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk()] * 7,
         out_shape=(
@@ -1418,39 +1380,40 @@ def _run_camera_ival(meta, box, cam, tris, p):
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _ival_scratches(0)
+            + _ival_scratches(0, nv=boxv.shape[1])
         ),
         interpret=_interpret(),
-    )(meta, box, cam, nm, tris)
+    )(meta, box, cam, boxv, tris)
 
 
 @jax.jit
 def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
     p = dx.shape[0]
-    nm = _shadow_mask(orig, box, dx, dy, dz, tm)
+    boxv = _boxv_of(box)
     return pl.pallas_call(
         _shadow_ival_kernel,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1])]
+        in_specs=[_smem(), _smem(), _smem(),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
         + [_blk()] * 4
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=_blk(),
         out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _ival_scratches(0)
+            + _ival_scratches(0, nv=boxv.shape[1])
         ),
         interpret=_interpret(),
-    )(meta, box, orig, nm, dx, dy, dz, tm, tris)
+    )(meta, box, orig, boxv, dx, dy, dz, tm, tris)
 
 
 @partial(jax.jit, static_argnames=("p",))
 def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
-    nm = _camera_mask(cam, box, p)
+    boxv = _boxv_of(box)
     return pl.pallas_call(
         _camera_ival_kernel_paged,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1])]
+        in_specs=[_smem(), _smem(), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         out_specs=[_blk()] * 7,
         out_shape=(
@@ -1462,21 +1425,21 @@ def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
             + _ival_scratches(
-                0, (pg_meta.shape[1], pg_box.shape[1]))
+                0, (pg_meta.shape[1], pg_box.shape[1]), nv=boxv.shape[1])
         ),
         interpret=_interpret(),
-    )(meta, box, cam, nm, tris, pg_meta, pg_box)
+    )(meta, box, cam, boxv, tris, pg_meta, pg_box)
 
 
 @jax.jit
 def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
                            pg_meta, pg_box):
     p = dx.shape[0]
-    nm = _shadow_mask(orig, box, dx, dy, dz, tm)
+    boxv = _boxv_of(box)
     return pl.pallas_call(
         _shadow_ival_kernel_paged,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1])]
+        in_specs=[_smem(), _smem(), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
         + [_blk()] * 4
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         out_specs=_blk(),
@@ -1484,10 +1447,10 @@ def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(
-                0, (pg_meta.shape[1], pg_box.shape[1]))
+                0, (pg_meta.shape[1], pg_box.shape[1]), nv=boxv.shape[1])
         ),
         interpret=_interpret(),
-    )(meta, box, orig, nm, dx, dy, dz, tm, tris, pg_meta, pg_box)
+    )(meta, box, orig, boxv, dx, dy, dz, tm, tris, pg_meta, pg_box)
 
 
 def _stats_spec():
@@ -1497,11 +1460,11 @@ def _stats_spec():
 
 @partial(jax.jit, static_argnames=("p",))
 def _run_camera_ival_stats(meta, box, cam, tris, p):
-    nm = _camera_mask(cam, box, p)
+    boxv = _boxv_of(box)
     return pl.pallas_call(
         _camera_ival_kernel_stats,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1]),
+        in_specs=[_smem(), _smem(), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk()] * 7 + [_stats_spec()],
         out_shape=(
@@ -1513,20 +1476,21 @@ def _run_camera_ival_stats(meta, box, cam, tris, p):
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _ival_scratches(0)
+            + _ival_scratches(0, nv=boxv.shape[1])
         ),
         interpret=_interpret(),
-    )(meta, box, cam, nm, tris)
+    )(meta, box, cam, boxv, tris)
 
 
 @jax.jit
 def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
     p = dx.shape[0]
-    nm = _shadow_mask(orig, box, dx, dy, dz, tm)
+    boxv = _boxv_of(box)
     return pl.pallas_call(
         _shadow_ival_kernel_stats,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), _nm_spec(nm.shape[1])]
+        in_specs=[_smem(), _smem(), _smem(),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
         + [_blk()] * 4
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk(), _stats_spec()],
@@ -1536,10 +1500,10 @@ def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
         ],
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _ival_scratches(0)
+            + _ival_scratches(0, nv=boxv.shape[1])
         ),
         interpret=_interpret(),
-    )(meta, box, orig, nm, dx, dy, dz, tm, tris)
+    )(meta, box, orig, boxv, dx, dy, dz, tm, tris)
 
 
 # ---------------------------------------------------------------------------

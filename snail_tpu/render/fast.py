@@ -44,8 +44,31 @@ def _take(a, idx):
     return jnp.take(a, idx, axis=0)
 
 
+def _gather_cols(tbl, idx):
+    """Row gather returning components as (C, R) — rays in LANES.
+
+    An (R, C) f32 gather output with C < 128 is lane-padded to (R, 128)
+    on TPU: 512 MB of layout traffic per Mray. Gathering the transposed
+    table along axis 1 keeps the output dense (C sublanes x R lanes) and
+    component reads are plain sublane slices."""
+    return jnp.take(tbl.T, idx, axis=1)
+
+
+def _small_lookup(tbl, idx):
+    """(C, R) lookup from a SMALL (M, C) table as a one-hot matmul.
+
+    Both directions ride the MXU: forward is (C, M) @ (M, R), and the
+    VJP is a matmul too — XLA's scatter-add of 1M colliding cotangent
+    rows into a handful of material rows measured ~60 ms; this is <1 ms
+    and exact (the one-hot has a single 1.0 per column)."""
+    m = tbl.shape[0]
+    onehot = (jnp.arange(m, dtype=jnp.int32)[:, None] == idx[None, :])
+    return tbl.T @ onehot.astype(jnp.float32)
+
+
 def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
-                     depth: int, diff: bool = False, stats_out=None):
+                     depth: int, diff: bool = False, stats_out=None,
+                     sh_row=None):
     """Shading + lights + bounces for one traced wavefront (components).
 
     o3 may be a shared origin tuple of scalars (primary) or (R,) arrays.
@@ -59,30 +82,35 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
     sg = jax.lax.stop_gradient
     hit = (dist > 0.0) & (dist < BIG)
     st = jnp.where(hit, tri, 0)
-    # ONE 128-B row gather per hit: shading deltas + the denormalized
-    # material row together (the ShTriangle one-cache-line fetch,
-    # triangle.h:181-230, widened — row gathers are the XLA bottleneck).
-    sh = _take(scene.sh_pack, st)  # (R, 32)
-    nx = sh[:, 0] + sh[:, 3] * u + sh[:, 6] * v
-    ny = sh[:, 1] + sh[:, 4] * u + sh[:, 7] * v
-    nz = sh[:, 2] + sh[:, 5] * u + sh[:, 8] * v
+    # ONE row gather per hit: shading deltas + the denormalized material
+    # row together (the ShTriangle one-cache-line fetch, triangle.h:
+    # 181-230, widened — a TPU gather costs ~7.4 ms per 1M rows
+    # regardless of row width, so everything rides one gather), in the
+    # transposed (C, R) form (see _gather_cols); the diff path passes
+    # its own shared gather's columns in (sh_row).
+    sh = sh_row if sh_row is not None else _gather_cols(scene.sh_pack, st)
+    nx = sh[0] + sh[3] * u + sh[6] * v
+    ny = sh[1] + sh[4] * u + sh[7] * v
+    nz = sh[2] + sh[5] * u + sh[8] * v
 
-    mp = sh[:, 16:32]  # material row, no second gather
+    mp = sh[16:32]  # material row, no second gather
     if diff:
-        mid = _take(scene.sh_mat, st)
-        kd = _take(scene.mat_diffuse, mid)
-        ks = _take(scene.mat_specular, mid)
-        kdr, kdg, kdb = kd[:, 0], kd[:, 1], kd[:, 2]
-        ksr, ksg, ksb = ks[:, 0], ks[:, 1], ks[:, 2]
+        # primal material colors by mat id (id rides the packed row);
+        # transposed small-table gathers keep (3, R) outputs dense
+        mid = sh[41].astype(jnp.int32)
+        kd = _small_lookup(scene.mat_diffuse, mid)
+        ks = _small_lookup(scene.mat_specular, mid)
+        kdr, kdg, kdb = kd[0], kd[1], kd[2]
+        ksr, ksg, ksb = ks[0], ks[1], ks[2]
     else:
-        kdr, kdg, kdb = mp[:, 0], mp[:, 1], mp[:, 2]
-        ksr, ksg, ksb = mp[:, 3], mp[:, 4], mp[:, 5]
+        kdr, kdg, kdb = mp[0], mp[1], mp[2]
+        ksr, ksg, ksb = mp[3], mp[4], mp[5]
 
     dx, dy, dz = d3
     if opts.textures and scene.tex_atlas is not None:
-        uc = sh[:, 9] + sh[:, 11] * u + sh[:, 13] * v
-        vc = sh[:, 10] + sh[:, 12] * u + sh[:, 14] * v
-        tex_id = mp[:, 8].astype(jnp.int32)
+        uc = sh[9] + sh[11] * u + sh[13] * v
+        vc = sh[10] + sh[12] * u + sh[14] * v
+        tex_id = mp[8].astype(jnp.int32)
         from ..scene.textures import sample_atlas, uv_footprint
 
         uvs = jnp.stack([uc, vc], axis=-1)
@@ -115,7 +143,7 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
 
     # --- reflections (scene_inl.h:434-444) ---
     if opts.reflections and depth < opts.max_bounces:
-        refl = jnp.where(hit, mp[:, 6], 0.0)
+        refl = jnp.where(hit, mp[6], 0.0)
         rsel = hit & (refl > 0.0)
         dn = dx * nx + dy * ny + dz * nz
         rdx = dx - 2.0 * dn * nx
@@ -135,7 +163,7 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
 
     # --- transparency continuation (scene_inl.h:445-458) ---
     if opts.transparency and depth < opts.max_bounces:
-        opac = jnp.where(hit, mp[:, 7], 1.0)
+        opac = jnp.where(hit, mp[7], 1.0)
         tsel = hit & (opac < 1.0)
         tox = px + dx * 0.1
         toy = py + dy * 0.1
@@ -244,30 +272,76 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
 def _recompute_dist_bary_c(scene, o3, d3, tri, hit):
     """Differentiable closed-form (dist, u, v) recompute for known hit ids,
     component-planar (the snail_tpu/diff/vjp.py recompute in the packed
-    layout): three (T, 3) row gathers + ~40 VPU flops per ray."""
+    layout): ONE (T, 9) row gather + ~40 VPU flops per ray.
+
+    A TPU gather costs ~7.4 ms per 1M rows REGARDLESS of row width
+    (measured: (T,3) == (T,32) == 7.4 ms; 1-D is worse), so the three
+    tri tables are concatenated into one primal row first — the concat
+    is differentiable (VJP = slicing), so tri_a/ba/ca grads still flow."""
     st = jnp.where(hit, tri, 0)
-    a = _take(scene.tri_a, st)
-    ba = _take(scene.tri_ba, st)
-    ca = _take(scene.tri_ca, st)
-    nx = ba[:, 1] * ca[:, 2] - ba[:, 2] * ca[:, 1]
-    ny = ba[:, 2] * ca[:, 0] - ba[:, 0] * ca[:, 2]
-    nz = ba[:, 0] * ca[:, 1] - ba[:, 1] * ca[:, 0]
-    tvx = o3[0] - a[:, 0]
-    tvy = o3[1] - a[:, 1]
-    tvz = o3[2] - a[:, 2]
+    packed = jnp.concatenate(
+        [scene.tri_a, scene.tri_ba, scene.tri_ca], axis=1)
+    row = _gather_cols(packed, st)  # (9, R)
+    return _recompute_from_rows(row, o3, d3)
+
+
+def _recompute_from_rows(row, o3, d3):
+    """(dist, u, v) from pre-gathered primal [a|ba|ca] (9, R) columns."""
+    a = (row[0], row[1], row[2])
+    ba = (row[3], row[4], row[5])
+    ca = (row[6], row[7], row[8])
+    nx = ba[1] * ca[2] - ba[2] * ca[1]
+    ny = ba[2] * ca[0] - ba[0] * ca[2]
+    nz = ba[0] * ca[1] - ba[1] * ca[0]
+    tvx = o3[0] - a[0]
+    tvy = o3[1] - a[1]
+    tvz = o3[2] - a[2]
     dx, dy, dz = d3
     det = dx * nx + dy * ny + dz * nz
     idet = 1.0 / jnp.where(det == 0.0, 1e-30, det)
-    c1x = tvy * ca[:, 2] - tvz * ca[:, 1]
-    c1y = tvz * ca[:, 0] - tvx * ca[:, 2]
-    c1z = tvx * ca[:, 1] - tvy * ca[:, 0]
-    c2x = ba[:, 1] * tvz - ba[:, 2] * tvy
-    c2y = ba[:, 2] * tvx - ba[:, 0] * tvz
-    c2z = ba[:, 0] * tvy - ba[:, 1] * tvx
+    c1x = tvy * ca[2] - tvz * ca[1]
+    c1y = tvz * ca[0] - tvx * ca[2]
+    c1z = tvx * ca[1] - tvy * ca[0]
+    c2x = ba[1] * tvz - ba[2] * tvy
+    c2y = ba[2] * tvx - ba[0] * tvz
+    c2z = ba[0] * tvy - ba[1] * tvx
     u = (dx * c1x + dy * c1y + dz * c1z) * idet
     v = (dx * c2x + dy * c2y + dz * c2z) * idet
     dist = -(tvx * nx + tvy * ny + tvz * nz) * idet
     return dist, u, v
+
+
+def _primary_dirs_planar(camera: Camera, width: int, height: int):
+    """Differentiable primary-ray directions as flat (R,) components in
+    the kernel's TILE x TILE packet order (mirrors the in-kernel raygen
+    formula bit for bit; camera gradients flow here)."""
+    tiles_x = width // TILE
+    p = tiles_x * (height // TILE)
+    pid = jnp.arange(p, dtype=jnp.int32)
+    k = jnp.arange(TILE * TILE, dtype=jnp.int32)
+    px = ((pid % tiles_x)[:, None] * TILE + (k % TILE)[None, :]).astype(
+        jnp.float32)
+    py = ((pid // tiles_x)[:, None] * TILE + (k // TILE)[None, :]).astype(
+        jnp.float32)
+    x = (px + 0.5 - width * 0.5) * jnp.float32(1.0 / height)
+    y = (height * 0.5 - py - 0.5) * jnp.float32(1.0 / height)
+    f = camera.front * camera.plane_dist
+    dx = camera.right[0] * x + camera.up[0] * y + f[0]
+    dy = camera.right[1] * x + camera.up[1] * y + f[1]
+    dz = camera.right[2] * x + camera.up[2] * y + f[2]
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    return ((dx * inv_len).reshape(-1), (dy * inv_len).reshape(-1),
+            (dz * inv_len).reshape(-1))
+
+
+def _diff_pack(scene):
+    """(T, 42) combined row: sh_pack (static) | tri_a | tri_ba | tri_ca
+    (primal) | mat id — the diff path's single per-wavefront gather. The
+    concat is differentiable (VJP = slicing), so vertex grads flow; the
+    mat id rides as f32 (exact below 2^24) so no second id gather."""
+    return jnp.concatenate(
+        [scene.sh_pack, scene.tri_a, scene.tri_ba, scene.tri_ca,
+         scene.sh_mat.astype(jnp.float32)[:, None]], axis=1)
 
 
 def _trace_and_shade(scene, o3, d3, tmax, opts, depth, diff=False):
@@ -279,17 +353,20 @@ def _trace_and_shade(scene, o3, d3, tmax, opts, depth, diff=False):
             sg(tmax),
         )
         hit = (dist > 0.0) & (dist < BIG)
-        rd, ru, rv = _recompute_dist_bary_c(scene, o3, d3, tri, hit)
+        row = _gather_cols(_diff_pack(scene), jnp.where(hit, tri, 0))
+        rd, ru, rv = _recompute_from_rows(row[32:41], o3, d3)
         dist = jnp.where(hit, rd, dist)
         u = jnp.where(hit, ru, u)
         v = jnp.where(hit, rv, v)
+        sh_row = row
     else:
         dist, u, v, tri = closest_hit_c(scene, o3, d3, tmax)
+        sh_row = None
     active = tmax >= 0.0
     dist = jnp.where(dist < jnp.minimum(tmax, BIG), dist, BIG)
     dist = jnp.where(active, dist, -BIG)
     return _shade_and_light(scene, o3, d3, dist, u, v, tri, opts, depth,
-                            diff=diff)
+                            diff=diff, sh_row=sh_row)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -397,23 +474,22 @@ def render_frame_fast_diff(scene, camera: Camera, width: int, height: int,
     sg = jax.lax.stop_gradient
     dist0, _, _, tri, _, _, _ = camera_trace(sg(scene), sg(camera),
                                              width, height)
-    # differentiable raygen in the SAME packet order as the kernel
-    # (ray_generator.cpp:23-50 formula; camera gradients flow here)
-    from .raygen import primary_rays, tile_rays
-
-    origin, dirs = primary_rays(camera, width, height)
-    d = tile_rays(dirs, TILE, TILE).reshape(-1, 3)
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    # differentiable raygen in the SAME packet order as the kernel,
+    # component-planar throughout — an AoS (R, 3) intermediate is
+    # lane-padded to (R, 128) on TPU (~14 ms/Mray of layout traffic)
+    dx, dy, dz = _primary_dirs_planar(camera, width, height)
     o3 = (camera.pos[0], camera.pos[1], camera.pos[2])
 
     hit = (dist0 > 0.0) & (dist0 < BIG)
-    rd, ru, rv = _recompute_dist_bary_c(scene, o3, (dx, dy, dz), tri, hit)
+    row = _gather_cols(_diff_pack(scene), jnp.where(hit, tri, 0))
+    rd, ru, rv = _recompute_from_rows(row[32:41], o3, (dx, dy, dz))
     dist = jnp.where(hit, rd, sg(dist0))
     u = jnp.where(hit, ru, 0.0)
     v = jnp.where(hit, rv, 0.0)
 
     cr, cg, cb = _shade_and_light(
-        scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0, diff=True
+        scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0, diff=True,
+        sh_row=row
     )
     img = jnp.stack([cr, cg, cb], axis=0).reshape(
         3, height // TILE, width // TILE, TILE, TILE

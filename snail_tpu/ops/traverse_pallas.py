@@ -80,10 +80,10 @@ PACKET_R = RAY_SUB * RAY_LANE  # rays per packet
 TILE = {8: 32, 32: 64, 128: 128}[RAY_SUB]  # square pixel tile per packet
 STACK_CAP = 96  # maxDepth(64) + slack (reference uses maxDepth+2)
 LEAF_PAD = 64  # leaf DMA granule (rows); builder leaf_size must be <= this
-IVAL_LEAF = int(os.environ.get("SNAIL_IVAL_LEAF", 16))  # interval-kernel
+IVAL_LEAF = int(os.environ.get("SNAIL_IVAL_LEAF", 32))  # interval-kernel
 # leaf granule; the counters (tools/measure_counters.py) show the walk is
 # scalar-bound, so leaf size trades scalar node visits vs VPU tri tests
-NBUF = int(os.environ.get("SNAIL_NBUF", 16))  # leaf DMA ring slots
+NBUF = int(os.environ.get("SNAIL_NBUF", 24))  # leaf DMA ring slots
 # (latency hiding, spu/base.h:85-135 analogue); also the chunk size of the
 # one vector<->scalar sync, so bigger rings mean fewer sync stalls
 QR = int(os.environ.get("SNAIL_QR", 16))  # quarter rows: sub-packet granule

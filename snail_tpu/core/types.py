@@ -182,12 +182,15 @@ class RenderOpts:
     stats: bool = static_field(default=False)  # gVals[2] stats overlay
     supersample: bool = static_field(default=False)  # gVals[9] 4x AA
     max_bounces: int = static_field(default=1)  # cache.reflections < 1 bound
+    photons: bool = static_field(default=False)  # photon-map radiance term
+    # (the scene_trace photon variant, reference photons.cpp:68-195)
     # traced scalars. Plain float default (not jnp.float32): RenderOpts()
     # appears as a def-time default argument across the render modules, and
     # materializing a device scalar there initializes the XLA backend at
     # import — which breaks jax.distributed.initialize (it must run before
     # any backend touch; see parallel/distributed.py).
     ambient: float = 0.1
+    photon_exposure: float = 1.0  # scales the gathered photon irradiance
 
 
 __all__ = ["Rays", "Hit", "Camera", "Light", "RenderOpts", "static_field"]

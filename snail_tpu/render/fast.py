@@ -68,11 +68,17 @@ def _small_lookup(tbl, idx):
 
 def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
                      depth: int, diff: bool = False, stats_out=None,
-                     sh_row=None):
+                     sh_row=None, normals=None, any_hit=None, bounce=None):
     """Shading + lights + bounces for one traced wavefront (components).
 
     o3 may be a shared origin tuple of scalars (primary) or (R,) arrays.
     Returns color components (r, g, b).
+
+    ``normals``/``any_hit``/``bounce`` plug alternate tracers into the
+    SAME shading path — instanced scenes (scene/instancing.py) pass
+    world-rotated normals and DBVH-backed visibility/bounce tracers and
+    get the full Whitted treatment (reference dbvh/traverse.cpp:14-76
+    feeding the same Scene::RayTrace).
 
     ``diff=True`` is the differentiable variant: material colors are
     gathered from the primal ``mat_diffuse``/``mat_specular`` tables (so
@@ -89,9 +95,12 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
     # transposed (C, R) form (see _gather_cols); the diff path passes
     # its own shared gather's columns in (sh_row).
     sh = sh_row if sh_row is not None else _gather_cols(scene.sh_pack, st)
-    nx = sh[0] + sh[3] * u + sh[6] * v
-    ny = sh[1] + sh[4] * u + sh[7] * v
-    nz = sh[2] + sh[5] * u + sh[8] * v
+    if normals is None:
+        nx = sh[0] + sh[3] * u + sh[6] * v
+        ny = sh[1] + sh[4] * u + sh[7] * v
+        nz = sh[2] + sh[5] * u + sh[8] * v
+    else:
+        nx, ny, nz = normals
 
     mp = sh[16:32]  # material row, no second gather
     if diff:
@@ -153,10 +162,14 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         roy = py + rdy * 0.001
         roz = pz + rdz * 0.001
         rtm = jnp.where(rsel, BIG, -BIG)
-        rr, rg, rb = _trace_and_shade(
-            scene, (rox, roy, roz), (rdx, rdy, rdz), rtm, opts, depth + 1,
-            diff=diff,
-        )
+        if bounce is None:
+            rr, rg, rb = _trace_and_shade(
+                scene, (rox, roy, roz), (rdx, rdy, rdz), rtm, opts,
+                depth + 1, diff=diff,
+            )
+        else:
+            rr, rg, rb = bounce((rox, roy, roz), (rdx, rdy, rdz), rtm,
+                                depth + 1)
         dr = jnp.where(rsel, dr + (rr - dr) * refl, dr)
         dg = jnp.where(rsel, dg + (rg - dg) * refl, dg)
         db = jnp.where(rsel, db + (rb - db) * refl, db)
@@ -169,9 +182,12 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         toy = py + dy * 0.1
         toz = pz + dz * 0.1
         ttm = jnp.where(tsel, BIG, -BIG)
-        tr, tg, tb = _trace_and_shade(
-            scene, (tox, toy, toz), d3, ttm, opts, depth + 1, diff=diff
-        )
+        if bounce is None:
+            tr, tg, tb = _trace_and_shade(
+                scene, (tox, toy, toz), d3, ttm, opts, depth + 1, diff=diff
+            )
+        else:
+            tr, tg, tb = bounce((tox, toy, toz), d3, ttm, depth + 1)
         dr = jnp.where(tsel, tr + (dr - tr) * opac, dr)
         dg = jnp.where(tsel, tg + (dg - tg) * opac, dg)
         db = jnp.where(tsel, tb + (db - tb) * opac, db)
@@ -200,35 +216,44 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         mask = hit & (dot > 0.0)
         if opts.shadows:
             stm = jnp.where(mask, ldist * 0.9999, -BIG)
-            # Masked rays (misses, backfaces) carry garbage directions
-            # (hit position at dist=BIG); they would blow the packet's
-            # direction interval wide open and defeat the scalar interval
-            # culls. Substitute each packet's mean valid direction - a
-            # point inside the packet's own cone, so the interval bounds
-            # don't widen at all. (Unnormalized is fine: the kernel culls
-            # with the idir bounds of the values actually passed, and
-            # masked rays' intersections are discarded via tmax < 0.)
-            from ..ops.traverse_pallas import PACKET_R
+            if any_hit is None:
+                # Masked rays (misses, backfaces) carry garbage
+                # directions (hit position at dist=BIG); they would blow
+                # the packet's direction interval wide open and defeat
+                # the scalar interval culls. Substitute each packet's
+                # mean valid direction - a point inside the packet's own
+                # cone, so the interval bounds don't widen at all.
+                # (Unnormalized is fine: the kernel culls with the idir
+                # bounds of the values actually passed, and masked rays'
+                # intersections are discarded via tmax < 0.) Alternate
+                # tracers (any_hit override, e.g. instancing) skip the
+                # substitution: it only serves the packet kernels and
+                # assumes R is a PACKET_R multiple.
+                from ..ops.traverse_pallas import PACKET_R
 
-            def _pkmean(c):
-                cm = jnp.where(mask, c, 0.0).reshape(-1, PACKET_R)
-                return cm.sum(axis=1) / jnp.maximum(
-                    mask.reshape(-1, PACKET_R).sum(axis=1), 1
-                )
+                def _pkmean(c):
+                    cm = jnp.where(mask, c, 0.0).reshape(-1, PACKET_R)
+                    return cm.sum(axis=1) / jnp.maximum(
+                        mask.reshape(-1, PACKET_R).sum(axis=1), 1
+                    )
 
-            mdx = jnp.repeat(_pkmean(flx), PACKET_R)
-            mdy = jnp.repeat(_pkmean(fly), PACKET_R)
-            mdz = jnp.repeat(_pkmean(flz), PACKET_R)
-            # fully-masked packets: any nonzero dir keeps idir finite
-            mlen = mdx * mdx + mdy * mdy + mdz * mdz
-            mdz = jnp.where(mlen < 1e-12, 1.0, mdz)
-            sdx = jnp.where(mask, flx, mdx)
-            sdy = jnp.where(mask, fly, mdy)
-            sdz = jnp.where(mask, flz, mdz)
+                mdx = jnp.repeat(_pkmean(flx), PACKET_R)
+                mdy = jnp.repeat(_pkmean(fly), PACKET_R)
+                mdz = jnp.repeat(_pkmean(flz), PACKET_R)
+                # fully-masked packets: any nonzero dir keeps idir finite
+                mlen = mdx * mdx + mdy * mdy + mdz * mdz
+                mdz = jnp.where(mlen < 1e-12, 1.0, mdz)
+                sdx = jnp.where(mask, flx, mdx)
+                sdy = jnp.where(mask, fly, mdy)
+                sdz = jnp.where(mask, flz, mdz)
+            else:
+                sdx, sdy, sdz = flx, fly, flz
             # binary visibility is piecewise-constant: the any-hit kernel
             # always runs on stop-gradient'ed inputs (no Pallas AD rule
             # needed, and d(blocked)/d(anything) == 0 anyway)
-            if stats_out is not None:
+            if any_hit is not None:
+                blocked = any_hit(lp, (sdx, sdy, sdz), stm)
+            elif stats_out is not None:
                 from ..ops.traverse_pallas import any_hit_shared_stats
 
                 blocked, st = any_hit_shared_stats(

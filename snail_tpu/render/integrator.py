@@ -159,7 +159,7 @@ def trace_light(scene, samples, light_pos, light_color, light_radius,
 
 
 def render_wavefront(scene, orig, dirn, tmax, opts: RenderOpts,
-                     depth: int = 0, tile_hw=None):
+                     depth: int = 0, tile_hw=None, photon_grid=None):
     """Trace + shade one wavefront; recurses (statically) for bounces.
 
     Returns color [R, 3]. This is RayTrace (scene_inl.h:169-496) minus the
@@ -194,7 +194,8 @@ def render_wavefront(scene, orig, dirn, tmax, opts: RenderOpts,
             rorig = samples["pos"] + rdir * 0.001
             rtmax = jnp.where(refl_sel, BIG, -BIG)
             refl_color = render_wavefront(
-                scene, rorig, rdir, rtmax, opts, depth + 1
+                scene, rorig, rdir, rtmax, opts, depth + 1,
+                photon_grid=photon_grid
             )
             blend = samples["reflect"][..., None]
             diffuse = jnp.where(
@@ -211,7 +212,8 @@ def render_wavefront(scene, orig, dirn, tmax, opts: RenderOpts,
         torig = orig + dirn * (dist[..., None] + 0.1)
         ttmax = jnp.where(trans_sel, BIG, -BIG)
         trans_color = render_wavefront(
-            scene, torig, dirn, ttmax, opts, depth + 1
+            scene, torig, dirn, ttmax, opts, depth + 1,
+            photon_grid=photon_grid
         )
         op = samples["opacity"][..., None]
         diffuse = jnp.where(
@@ -238,6 +240,17 @@ def render_wavefront(scene, orig, dirn, tmax, opts: RenderOpts,
             )
             l_diffuse = l_diffuse + d
             l_specular = l_specular + s
+
+    # --- photon-map radiance (opt-in): gathered irradiance joins the
+    # diffuse light sum, the wavefront form of the reference's photon
+    # render variant (GatherPhotons during shading, photons.cpp:68-195;
+    # scene_trace photon path). The dense-grid gather is the TPU-native
+    # estimator; tests pin it against the kd-tree oracle. ---
+    if opts.photons and photon_grid is not None:
+        from .photons import gather_photons_grid
+
+        rad = gather_photons_grid(photon_grid, samples["pos"])
+        l_diffuse = l_diffuse + rad * opts.photon_exposure
 
     color = diffuse * l_diffuse + samples["specular"] * l_specular
     return jnp.where(sel[..., None], color, jnp.zeros_like(color))

@@ -203,6 +203,10 @@ class PhotonGrid:
     res: int
 
 
+jax.tree_util.register_dataclass(
+    PhotonGrid, data_fields=["grid", "lo", "inv_cell"], meta_fields=["res"])
+
+
 def photon_grid(pmap: PhotonMap, scene_lo, scene_hi,
                 res: int = 64) -> PhotonGrid:
     """Splat photon powers into a dense density grid (host scatter —

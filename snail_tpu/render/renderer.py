@@ -29,16 +29,20 @@ from .raygen import TILE_H, TILE_W, primary_rays, tile_rays, untile_image
 
 @partial(jax.jit, static_argnames=("width", "height"))
 def render_frame(scene, camera: Camera, width: int, height: int,
-                 opts: RenderOpts = RenderOpts()):
+                 opts: RenderOpts = RenderOpts(), photon_grid=None):
     """Render a full frame; returns float32 [height, width, 3] linear color.
 
     Routes to the packed component-planar fast path (render/fast.py) on
     TPU when the scene has pallas tables; falls back to the portable
-    (differentiable) wavefront integrator otherwise."""
+    (differentiable) wavefront integrator otherwise. ``photon_grid``
+    (render/photons.py PhotonGrid) + opts.photons adds the photon-map
+    radiance term (portable integrator path)."""
     from .fast import fast_path_available, render_frame_fast
 
     scale = 2 if opts.supersample else 1
-    if fast_path_available(scene, width * scale, height * scale):
+    use_photons = opts.photons and photon_grid is not None
+    if (not use_photons
+            and fast_path_available(scene, width * scale, height * scale)):
         img = render_frame_fast(scene, camera, width * scale,
                                 height * scale, opts)
         if opts.supersample:
@@ -56,7 +60,8 @@ def render_frame(scene, camera: Camera, width: int, height: int,
     o = jnp.broadcast_to(origin, d.shape)
     tmax = jnp.full(d.shape[:1], BIG, jnp.float32)
 
-    color = render_wavefront(scene, o, d, tmax, opts, tile_hw=(th, tw))
+    color = render_wavefront(scene, o, d, tmax, opts, tile_hw=(th, tw),
+                             photon_grid=photon_grid)
     img = untile_image(color.reshape(-1, th * tw, 3), h, w, th, tw)
     if opts.supersample:
         img = (

@@ -168,11 +168,46 @@ def world_normal(iscene: InstancedScene, inst, n3):
     )
 
 
+def _instanced_trace_and_shade(iscene: InstancedScene, o3, d3, tmax,
+                               opts, depth: int):
+    """Instanced closest hit + FULL packed Whitted shading (the DBVH
+    scenes feed the same Scene::RayTrace in the reference,
+    dbvh/traverse.cpp:14-76 + scene_inl.h:169-496): specular, textures,
+    reflections and shadows all run against the instance set."""
+    from ..core.vecmath import BIG
+    from ..render.fast import _gather_cols, _shade_and_light
+
+    base = iscene.base
+    dist, inst, tri, u, v = instanced_closest_hit(iscene, o3, d3, tmax)
+    hit = (dist > 0.0) & (dist < BIG)
+    st = jnp.where(hit, tri, 0)
+    sh = _gather_cols(base.sh_pack, st)
+    no = (sh[0] + sh[3] * u + sh[6] * v,
+          sh[1] + sh[4] * u + sh[7] * v,
+          sh[2] + sh[5] * u + sh[8] * v)
+    normals = world_normal(iscene, inst, no)
+
+    def any_hit(lp, sd, stm):
+        lo3 = (jnp.broadcast_to(lp[0], stm.shape),
+               jnp.broadcast_to(lp[1], stm.shape),
+               jnp.broadcast_to(lp[2], stm.shape))
+        return instanced_any_hit(iscene, lo3, sd, stm)
+
+    def bounce(bo3, bd3, btm, bdepth):
+        return _instanced_trace_and_shade(iscene, bo3, bd3, btm, opts,
+                                          bdepth)
+
+    return _shade_and_light(base, o3, d3, dist, u, v, tri, opts, depth,
+                            sh_row=sh, normals=normals, any_hit=any_hit,
+                            bounce=bounce)
+
+
 def render_instanced(iscene: InstancedScene, camera, width: int, height: int,
                      opts=None):
-    """N·L-shaded instanced frame (the rtracer instancing demo path,
-    rtracer.cpp:357-386): primary rays over the DBVH + per-light shadow
-    rays against every instance."""
+    """Full-Whitted instanced frame (the rtracer instancing demo path,
+    rtracer.cpp:357-386): primary + shadow + bounce rays over the DBVH,
+    shaded by the SAME packed shading path as single-BVH scenes
+    (specular/texture/reflection; render/fast.py _shade_and_light)."""
     from ..core.types import RenderOpts
     from ..render.raygen import primary_rays, tile_rays, untile_image
 
@@ -186,59 +221,6 @@ def render_instanced(iscene: InstancedScene, camera, width: int, height: int,
 
     o3 = (o[:, 0], o[:, 1], o[:, 2])
     d3 = (d[:, 0], d[:, 1], d[:, 2])
-    dist, inst, tri, u, v = instanced_closest_hit(iscene, o3, d3, tmax)
-    hit = (dist > 0.0) & (dist < BIG)
-
-    base = iscene.base
-    st = jnp.where(hit, tri, 0)
-    sh = jnp.take(base.sh_pack, st, axis=0)
-    no = (sh[:, 0] + sh[:, 3] * u + sh[:, 6] * v,
-          sh[:, 1] + sh[:, 4] * u + sh[:, 7] * v,
-          sh[:, 2] + sh[:, 5] * u + sh[:, 8] * v)
-    nx, ny, nz = world_normal(iscene, inst, no)
-
-    mat = jnp.where(hit, sh[:, 15].astype(jnp.int32), 0)
-    mp = jnp.take(base.mat_pack, mat, axis=0)
-
-    px = o3[0] + d3[0] * dist
-    py = o3[1] + d3[1] * dist
-    pz = o3[2] + d3[2] * dist
-
-    amb = opts.ambient
-    lr = jnp.full(dist.shape, amb)
-    lg = jnp.full(dist.shape, amb)
-    lb = jnp.full(dist.shape, amb)
-    lights = base.lights
-    n_lights = 0 if lights is None else len(lights)
-    for li in range(n_lights):
-        lp = lights.pos[li]
-        lvx, lvy, lvz = px - lp[0], py - lp[1], pz - lp[2]
-        ld = jnp.sqrt(jnp.maximum(lvx**2 + lvy**2 + lvz**2, 1e-12))
-        ild = 1.0 / ld
-        fl = (lvx * ild, lvy * ild, lvz * ild)
-        dot = nx * fl[0] + ny * fl[1] + nz * fl[2]
-        mask = hit & (dot > 0.0)
-        if opts.shadows:
-            stm = jnp.where(mask, ld * 0.9999, -BIG)
-            lo3 = (jnp.broadcast_to(lp[0], dist.shape),
-                   jnp.broadcast_to(lp[1], dist.shape),
-                   jnp.broadcast_to(lp[2], dist.shape))
-            blk = instanced_any_hit(iscene, lo3, fl, stm)
-            lit = mask & ~blk
-        else:
-            lit = mask
-        at = ld * (1.0 / lights.radius[li])
-        atten = jnp.maximum(
-            0.0, (1.0 - at) * 0.2 + 1.0 / (16.0 * at * at) - 0.0625
-        )
-        dm = jnp.where(lit, dot * atten, 0.0)
-        lc = lights.color[li]
-        lr = lr + lc[0] * dm
-        lg = lg + lc[1] * dm
-        lb = lb + lc[2] * dm
-
-    cr = jnp.where(hit, mp[:, 0] * lr, 0.0)
-    cg = jnp.where(hit, mp[:, 1] * lg, 0.0)
-    cb = jnp.where(hit, mp[:, 2] * lb, 0.0)
+    cr, cg, cb = _instanced_trace_and_shade(iscene, o3, d3, tmax, opts, 0)
     color = jnp.stack([cr, cg, cb], -1)
     return untile_image(color.reshape(-1, th * tw, 3), height, width, th, tw)

@@ -97,3 +97,44 @@ def test_render_instanced_smoke(box_traced):
     assert img.shape == (64, 64, 3)
     assert np.isfinite(img).all()
     assert img.max() > 0.01  # something got shaded
+
+
+def test_instanced_full_whitted_matches_flat_render():
+    """Identity-instanced render through the FULL packed shading path
+    (specular + reflections) must reproduce the single-BVH render — the
+    reference feeds DBVH scenes into the same Scene::RayTrace
+    (dbvh/traverse.cpp:14-76, scene_inl.h:169-496)."""
+    from snail_tpu.core.types import RenderOpts
+    from snail_tpu.render.renderer import render_frame
+    from snail_tpu.scene.materials import MaterialDesc, MaterialTable
+    from snail_tpu.scene.procedural import cornell_scene
+    from snail_tpu.scene.scene import make_traced_scene
+
+    base = cornell_scene()
+    for i in (1, 2):  # inner boxes get the shiny material
+        base.objects[i].tri_mat[:] = 1
+    g = base.flatten()
+    lo, hi = g.bounds()
+    bvh = build_bvh(lo, hi, leaf_size=8)
+    mats = MaterialTable.build(
+        {"default": 0, "shiny": 1},
+        [MaterialDesc(name="shiny", specular=(0.6, 0.6, 0.6))],
+        reflectivity={"shiny": 0.4},
+    )
+    lights = Light.make((0.0, 3.5, 0.0), (1.0, 0.9, 0.8), 30.0)
+    scene = make_traced_scene(g, bvh, materials=mats, lights=lights,
+                              backend="reference")
+    cam = Camera.look_at(pos=(0.0, 2.0, 6.0), target=(0.0, 1.5, 0.0))
+    opts = RenderOpts(reflections=True, transparency=False, textures=False)
+
+    isc = make_instances(scene, jnp.eye(3)[None],
+                         jnp.zeros((1, 3), jnp.float32))
+    img_i = np.asarray(render_instanced(isc, cam, 64, 64, opts))
+    img_f = np.asarray(render_frame(scene, cam, 64, 64, opts))
+    assert np.abs(img_i - img_f).max() < 2e-3
+
+    # the full-shading features must actually fire on the instanced path
+    opts_off = RenderOpts(reflections=False, transparency=False,
+                          textures=False)
+    img_no = np.asarray(render_instanced(isc, cam, 64, 64, opts_off))
+    assert np.abs(img_i - img_no).max() > 1e-3

@@ -184,6 +184,10 @@ class RenderOpts:
     max_bounces: int = static_field(default=1)  # cache.reflections < 1 bound
     photons: bool = static_field(default=False)  # photon-map radiance term
     # (the scene_trace photon variant, reference photons.cpp:68-195)
+    tex_filter: str = static_field(default="point")  # "point" | "bilinear"
+    # | "sat" — the NewSampler choice (sampling/sampler.cpp:9-44):
+    # PointSampler / BilinearSampler / SATSampler ("sat" needs
+    # scene.tex_sat, see scene.with_sat)
     # traced scalars. Plain float default (not jnp.float32): RenderOpts()
     # appears as a def-time default argument across the render modules, and
     # materializing a device scalar there initializes the XLA backend at

@@ -120,7 +120,8 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         uc = sh[9] + sh[11] * u + sh[13] * v
         vc = sh[10] + sh[12] * u + sh[14] * v
         tex_id = mp[8].astype(jnp.int32)
-        from ..scene.textures import sample_atlas, uv_footprint
+        from ..scene.textures import (sample_atlas, sample_sat_atlas,
+                                      uv_footprint)
 
         uvs = jnp.stack([uc, vc], axis=-1)
         # texDiff mip selection (scene_inl.h:294) for primary rays, whose
@@ -128,8 +129,16 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         # wavefronts have no screen footprint -> mip 0 (reference computes
         # texDiff per primary 2x2 block only)
         diff_uv = uv_footprint(uvs, (TILE, TILE), hit) if depth == 0 else None
-        rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, tex_id,
-                           uvs, diff_uv)
+        if (opts.tex_filter == "sat" and scene.tex_sat is not None
+                and diff_uv is not None):
+            rgb = sample_sat_atlas(scene.tex_sat, scene.tex_meta, tex_id,
+                                   uvs, diff_uv)
+        else:
+            rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, tex_id,
+                               uvs, diff_uv,
+                               filter=("bilinear"
+                                       if opts.tex_filter == "bilinear"
+                                       else "point"))
         has = tex_id >= 0
         kdr = jnp.where(has, rgb[..., 0], kdr)
         kdg = jnp.where(has, rgb[..., 1], kdg)

@@ -78,7 +78,8 @@ def shade_hits(scene, orig, dirn, dist, tri, bary, opts: RenderOpts,
     refl = _gather(scene.mat_reflect, mat)
 
     if opts.textures and scene.tex_atlas is not None:
-        from ..scene.textures import sample_atlas, uv_footprint
+        from ..scene.textures import (sample_atlas, sample_sat_atlas,
+                                      uv_footprint)
 
         tex_id = _gather(scene.mat_difftex, mat)
         # uv footprint for mip selection (texDiff, scene_inl.h:294,
@@ -87,8 +88,16 @@ def shade_hits(scene, orig, dirn, dist, tri, bary, opts: RenderOpts,
         diff_uv = (
             uv_footprint(uv, tile_hw, hit) if tile_hw is not None else None
         )
-        tex_rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, tex_id, uv,
-                               diff_uv)
+        if (opts.tex_filter == "sat" and scene.tex_sat is not None
+                and diff_uv is not None):
+            tex_rgb = sample_sat_atlas(scene.tex_sat, scene.tex_meta,
+                                       tex_id, uv, diff_uv)
+        else:
+            tex_rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, tex_id,
+                                   uv, diff_uv,
+                                   filter=("bilinear"
+                                           if opts.tex_filter == "bilinear"
+                                           else "point"))
         kd = jnp.where((tex_id >= 0)[..., None], tex_rgb, kd)
         diss_id = _gather(scene.mat_disstex, mat)
         diss_rgb = sample_atlas(scene.tex_atlas, scene.tex_meta, diss_id, uv)

@@ -66,6 +66,7 @@ class TracedScene:
     # Textures (atlas arrays; None => untextured scene)
     tex_atlas: Optional[jnp.ndarray] = None
     tex_meta: Optional[jnp.ndarray] = None
+    tex_sat: Optional[jnp.ndarray] = None  # per-texture SATs (with_sat)
     # Packed kernel layouts (snail_tpu.ops.traverse_pallas): SMEM meta
     # i32[2N] + bbox f32[6N] tables, HBM tris f32[Tpad, 128].
     # None => scene exceeds the SMEM node cap; Pallas path unavailable.
@@ -105,6 +106,19 @@ class TracedScene:
 
     def with_lights(self, lights: Optional[Light]) -> "TracedScene":
         return dataclasses.replace(self, lights=lights)
+
+
+def with_sat(scene: "TracedScene") -> "TracedScene":
+    """Attach summed-area tables for RenderOpts(tex_filter="sat")
+    (reference SATSampler, sampling/sat_sampler.h:10-57)."""
+    import dataclasses
+
+    from .textures import build_sat_atlas
+
+    if scene.tex_atlas is None:
+        return scene
+    return dataclasses.replace(
+        scene, tex_sat=build_sat_atlas(scene.tex_atlas, scene.tex_meta))
 
 
 def make_traced_scene(

@@ -127,11 +127,14 @@ def uv_footprint(uv, tile_hw, valid):
     return jnp.maximum(fd(1), fd(2)).reshape(-1, 2)
 
 
-def sample_atlas(atlas, meta, tex_id, uv, diff_uv=None):
-    """Point-sample the pyramid atlas.
+def sample_atlas(atlas, meta, tex_id, uv, diff_uv=None, filter="point"):
+    """Sample the pyramid atlas.
 
     tex_id int32[...] (-1 allowed: result meaningless, caller masks),
-    uv float32[..., 2], diff_uv optional float32[..., 2] uv footprint.
+    uv float32[..., 2], diff_uv optional float32[..., 2] uv footprint,
+    filter "point" (PointSampler, sampling/point_sampler.cpp:52-100) or
+    "bilinear" (BilinearSampler, sampling/bilinear_sampler.*: 4 taps at
+    the selected mip, fractional weights, wrap addressing).
     Returns rgb float32[..., 3] in [0, 1].
     """
     tid = jnp.maximum(tex_id, 0)
@@ -147,21 +150,97 @@ def sample_atlas(atlas, meta, tex_id, uv, diff_uv=None):
     else:
         mip = jnp.zeros_like(w)
 
-    # integer texel coords at mip 0, shifted down (point_sampler.cpp:110-116)
-    x = (uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32)
-    y = (uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32)
-    x = jnp.right_shift(x, mip) & (jnp.right_shift(w, mip) - 1)
-    y = jnp.right_shift(y, mip) & (jnp.right_shift(h, mip) - 1)
-    # vertical flip (point_sampler.cpp:79-80)
-    y = jnp.right_shift(h, mip) - 1 - y
-    # pyramid row offset: 2H * (1 - 2^-mip) = 2H - (2H >> mip)
-    row = (2 * base_h - jnp.right_shift(2 * base_h, mip)) + y
-    return atlas[tid, row, x]
+    wm = jnp.right_shift(w, mip)  # mip-level extent (pow2)
+    hm = jnp.right_shift(h, mip)
+    row0 = 2 * base_h - jnp.right_shift(2 * base_h, mip)  # pyramid offset
+
+    def tap(xi, yi):
+        xi = xi & (wm - 1)  # wrap addressing (point_sampler.cpp:72-76)
+        yi = yi & (hm - 1)
+        yi = hm - 1 - yi  # vertical flip (point_sampler.cpp:79-80)
+        return atlas[tid, row0 + yi, xi]
+
+    if filter == "point":
+        # integer texel coords at mip 0, shifted down
+        # (point_sampler.cpp:110-116)
+        x = (uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32)
+        y = (uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32)
+        return tap(jnp.right_shift(x, mip), jnp.right_shift(y, mip))
+
+    # bilinear: fractional coords at the SELECTED mip, 4 taps
+    xf = uv[..., 0] * wm.astype(jnp.float32) - 0.5
+    yf = uv[..., 1] * hm.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    fx = (xf - x0)[..., None]
+    fy = (yf - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    c00 = tap(x0, y0)
+    c10 = tap(x0 + 1, y0)
+    c01 = tap(x0, y0 + 1)
+    c11 = tap(x0 + 1, y0 + 1)
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
 
 
 def build_sat(img: np.ndarray) -> np.ndarray:
     """Summed-area table (reference SATSampler, sampling/sat_sampler.h:10-57)."""
     return np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+
+
+def build_sat_atlas(atlas, meta) -> "jnp.ndarray":
+    """Per-texture SATs over the mip-0 plane of a pyramid atlas
+    ([T, 2H, W, 3] -> f32 [T, H, W, 3]). Pairs with a pyramid atlas so a
+    scene can offer both samplers (NewSampler picks per format,
+    sampling/sampler.cpp:9-44; here RenderOpts.tex_filter picks)."""
+    import numpy as _np
+
+    a = _np.asarray(atlas, _np.float64)
+    base_h = a.shape[1] // 2
+    sats = _np.cumsum(_np.cumsum(a[:, :base_h], axis=1), axis=2)
+    return jnp.asarray(sats, jnp.float32)
+
+
+def sample_sat_atlas(sat_atlas, meta, tex_id, uv, diff_uv):
+    """Box-filtered fetch over the uv footprint via 4 SAT taps per ray
+    (SATSampler::Sample, sat_sampler.h:29-57) — the large-footprint
+    complement to mip point/bilinear sampling."""
+    tid = jnp.maximum(tex_id, 0)
+    m = jnp.take(meta, tid, axis=0)
+    w = m[..., 0].astype(jnp.float32)
+    h = m[..., 1].astype(jnp.float32)
+    half = 0.5 * jnp.maximum(diff_uv, 1e-6)
+    # wrap the CENTER into [0,1); clamp the rect (SAT can't wrap)
+    cu = uv[..., 0] - jnp.floor(uv[..., 0])
+    cv = uv[..., 1] - jnp.floor(uv[..., 1])
+    cv = 1.0 - cv  # vertical flip, as the point sampler
+    x0 = jnp.clip(((cu - half[..., 0]) * w).astype(jnp.int32), 0,
+                  m[..., 0] - 1)
+    x1 = jnp.clip(((cu + half[..., 0]) * w).astype(jnp.int32), 0,
+                  m[..., 0] - 1)
+    y0 = jnp.clip(((cv - half[..., 1]) * h).astype(jnp.int32), 0,
+                  m[..., 1] - 1)
+    y1 = jnp.clip(((cv + half[..., 1]) * h).astype(jnp.int32), 0,
+                  m[..., 1] - 1)
+    x1 = jnp.maximum(x1, x0)
+    y1 = jnp.maximum(y1, y0)
+    s = sat_atlas
+
+    def t(yy, xx, on):
+        v = s[tid, yy, xx]
+        return jnp.where(on[..., None], v, 0.0)
+
+    total = (
+        s[tid, y1, x1]
+        - t(jnp.maximum(y0 - 1, 0), x1, y0 > 0)
+        - t(y1, jnp.maximum(x0 - 1, 0), x0 > 0)
+        + t(jnp.maximum(y0 - 1, 0), jnp.maximum(x0 - 1, 0),
+            (x0 > 0) & (y0 > 0))
+    )
+    area = ((x1 - x0 + 1) * (y1 - y0 + 1)).astype(jnp.float32)
+    return total / area[..., None]
 
 
 def sample_sat(sat, uv_min, uv_max):

@@ -189,8 +189,44 @@ def pack_scene_arrays_paged(bvh, geom_padded):
         raise ValueError(
             f"top tree {layout.n_top} nodes > SMEM cap {SMEM_NODE_CAP}"
         )
+    pm, pb = page_kernel_layout(layout.pg_meta, layout.pg_box)
     return (layout.top_meta, layout.top_box, _pack_tri_rows(geom_padded),
-            layout.pg_meta, layout.pg_box)
+            pm, pb)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (int(x) - 1).bit_length()
+
+
+def page_kernel_layout(pg_meta, pg_box):
+    """(NP, L) page tables -> (NP, 8, Lp/8) kernel layout.
+
+    One page = (8, L/8): a whole-page DMA then slices only the UNTILED
+    major dim (Mosaic rejects single-row slices of a (NP, L) table —
+    dim 0 would carry the (8, 128) sublane tiling). Lane dims are padded
+    to powers of two so the in-kernel flat->2D index split (_pg_rd) is
+    shift+mask."""
+    np_, ml = pg_meta.shape
+    bl = pg_box.shape[1]
+    mlp = max(_next_pow2(-(-ml // 8)), 16) * 8
+    blp = max(_next_pow2(-(-bl // 8)), 16) * 8
+    pm = np.zeros((np_, mlp), pg_meta.dtype)
+    pm[:, :ml] = pg_meta
+    pb = np.zeros((np_, blp), pg_box.dtype)
+    pb[:, :bl] = pg_box
+    return pm.reshape(np_, 8, mlp // 8), pb.reshape(np_, 8, blp // 8)
+
+
+def _pg_rd(ref, row0, i):
+    """Scalar read of flat element i from cache rows [row0, row0+8)."""
+    l8 = ref.shape[1]
+    sh = l8.bit_length() - 1
+    return ref[row0 + jax.lax.shift_right_logical(i, sh), i & (l8 - 1)]
+
+
+def _pg_box6(ref, row0, node):
+    b = node * 6
+    return tuple(_pg_rd(ref, row0, b + k) for k in range(6))
 
 
 # ---------------------------------------------------------------------------
@@ -748,6 +784,10 @@ def _or_across_rays(acc):
 
 
 PAGE_BASE = 1 << 26  # stack ids >= PAGE_BASE are page-local (paged walk)
+PG_SLOTS = int(os.environ.get("SNAIL_PG_SLOTS", 4))  # direct-mapped page
+# cache slots (the SPU Cache<T, size, tag> analogue, spu/base.h:85-135):
+# a page fault skips the DMA when its tag already matches, so A,B,A page
+# alternations stop re-streaming 80 KB per visit. Power of two.
 
 
 def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
@@ -790,7 +830,8 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
 
     ``pages`` (optional) enables the two-level large-scene walk
     (bvh/pages.py layout; the SPU node-cache analogue, spu/base.h:85-135):
-    a 5-tuple (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem).
+    a 6-tuple (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
+    ptag_ref, psem).
     Top-tree *page pointer* nodes (axis == 3) DMA their page's meta+box
     rows into the SMEM page slot and push the page-local root
     (PAGE_BASE + 0); LIFO order guarantees the whole page subtree drains
@@ -800,7 +841,10 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
     """
     sx, sy, sz = signs
     if pages is not None:
-        pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem = pages
+        pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, ptag_ref, psem = pages
+        for i in range(PG_SLOTS):
+            ptag_ref[i] = -1
+        ptag_ref[PG_SLOTS] = 0
     if stats_ref is not None:
         for i in range(8):
             stats_ref[0, 0, i] = 0
@@ -816,9 +860,12 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
         else:
             in_pg = node >= PAGE_BASE
 
+            cur8 = ptag_ref[PG_SLOTS] * 8
+
             def _rd_pg():
                 li = node - PAGE_BASE
-                return pmeta_ref[li * 2], pmeta_ref[li * 2 + 1]
+                return (_pg_rd(pmeta_ref, cur8, li * 2),
+                        _pg_rd(pmeta_ref, cur8, li * 2 + 1))
 
             def _rd_top():
                 return tbl_ref[node * 2], tbl_ref[node * 2 + 1]
@@ -837,7 +884,7 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                 return _box6(box_ref, local)
             return jax.lax.cond(
                 in_pg,
-                lambda: _box6(pbox_ref, local),
+                lambda: _pg_box6(pbox_ref, cur8, local),
                 lambda: _box6(box_ref, local),
             )
 
@@ -882,13 +929,13 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                 pf = jax.lax.cond(
                     in_pg,
                     lambda: _ival_test_vals(
-                        _box6(pbox_ref, far), o, bnds, maxb),
+                        _pg_box6(pbox_ref, cur8, far), o, bnds, maxb),
                     lambda: _nm_bit(nm_ref, far),
                 )
                 pn = jax.lax.cond(
                     in_pg,
                     lambda: _ival_test_vals(
-                        _box6(pbox_ref, near), o, bnds, maxb),
+                        _pg_box6(pbox_ref, cur8, near), o, bnds, maxb),
                     lambda: _nm_bit(nm_ref, near),
                 )
             if pages is not None:
@@ -906,19 +953,31 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
             return sp, nq, maxb
 
         def enter_page(args):
-            # blocking page fault: meta+box rows -> SMEM page slot
+            # page fault into the direct-mapped cache; tag hit skips the
+            # DMA entirely (the SPU software cache, spu/base.h:85-135)
             sp, nq = args
-            cm = pltpu.make_async_copy(pg_meta_hbm.at[child], pmeta_ref,
-                                       psem.at[0])
-            cb = pltpu.make_async_copy(pg_box_hbm.at[child], pbox_ref,
-                                       psem.at[1])
-            cm.start()
-            cb.start()
-            cm.wait()
-            cb.wait()
+            slot = child & (PG_SLOTS - 1)
+
+            @pl.when(ptag_ref[slot] != child)
+            def _():
+                cm = pltpu.make_async_copy(
+                    pg_meta_hbm.at[child],
+                    pmeta_ref.at[pl.ds(slot * 8, 8), :], psem.at[0])
+                cb = pltpu.make_async_copy(
+                    pg_box_hbm.at[child],
+                    pbox_ref.at[pl.ds(slot * 8, 8), :], psem.at[1])
+                cm.start()
+                cb.start()
+                cm.wait()
+                cb.wait()
+                ptag_ref[slot] = child
+                if stats_ref is not None:
+                    stats_ref[0, 0, 5] = stats_ref[0, 0, 5] + 1
+
+            ptag_ref[PG_SLOTS] = slot
             stack_ref[sp] = PAGE_BASE
             if stats_ref is not None:
-                stats_ref[0, 0, 5] = stats_ref[0, 0, 5] + 1
+                stats_ref[0, 0, 6] = stats_ref[0, 0, 6] + 1
             return sp + 1, nq
 
         is_ptr = jnp.logical_not(in_pg) & (axis == 3)
@@ -1234,7 +1293,7 @@ def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                               best_ref, bu_ref, bv_ref, tri_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
-                              pmeta_ref, pbox_ref, psem,
+                              pmeta_ref, pbox_ref, ptag_ref, psem,
                               nmv_ref, nms_ref, nmsem):
     _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
@@ -1242,7 +1301,8 @@ def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                       best_ref, bu_ref, bv_ref, tri_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
                       lbox_ref, sems, nmv_ref, nms_ref, nmsem, None,
-                      (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem))
+                      (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
+                       ptag_ref, psem))
 
 
 def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
@@ -1312,14 +1372,15 @@ def _shadow_ival_kernel_paged(tbl_ref, box_ref, orig_ref, boxv_ref,
                               out_ref, blocked_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
-                              pmeta_ref, pbox_ref, psem,
+                              pmeta_ref, pbox_ref, ptag_ref, psem,
                               nmv_ref, nms_ref, nmsem):
     _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
                       lbox_ref, sems, nmv_ref, nms_ref, nmsem, None,
-                      (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, psem))
+                      (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
+                       ptag_ref, psem))
 
 
 def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref, boxv_ref,
@@ -1349,10 +1410,11 @@ def _ival_scratches(extra_vec: int, page_shapes=None, nv=1):
         pltpu.SemaphoreType.DMA((NBUF,)),
     ]
     if page_shapes is not None:
-        meta_len, box_len = page_shapes  # one page's row lengths
+        meta_l8, box_l8 = page_shapes  # one page's (8, L8) slot lane dims
         base += [
-            pltpu.SMEM((meta_len,), jnp.int32),  # page slot: meta
-            pltpu.SMEM((box_len,), jnp.float32),  # page slot: boxes
+            pltpu.SMEM((PG_SLOTS * 8, meta_l8), jnp.int32),  # page cache
+            pltpu.SMEM((PG_SLOTS * 8, box_l8), jnp.float32),
+            pltpu.SMEM((PG_SLOTS + 1,), jnp.int32),  # tags + current slot
             pltpu.SemaphoreType.DMA((2,)),  # page meta/box DMAs
         ]
     base += [
@@ -1425,7 +1487,7 @@ def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
             + _ival_scratches(
-                0, (pg_meta.shape[1], pg_box.shape[1]), nv=boxv.shape[1])
+                0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
         ),
         interpret=_interpret(),
     )(meta, box, cam, boxv, tris, pg_meta, pg_box)
@@ -1447,7 +1509,7 @@ def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(
-                0, (pg_meta.shape[1], pg_box.shape[1]), nv=boxv.shape[1])
+                0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
         ),
         interpret=_interpret(),
     )(meta, box, orig, boxv, dx, dy, dz, tm, tris, pg_meta, pg_box)

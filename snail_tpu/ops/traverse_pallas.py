@@ -86,13 +86,23 @@ IVAL_LEAF = int(os.environ.get("SNAIL_IVAL_LEAF", 32))  # interval-kernel
 NBUF = int(os.environ.get("SNAIL_NBUF", 24))  # leaf DMA ring slots
 # (latency hiding, spu/base.h:85-135 analogue); also the chunk size of the
 # one vector<->scalar sync, so bigger rings mean fewer sync stalls
-QR = int(os.environ.get("SNAIL_QR", 16))  # quarter rows: sub-packet granule
-# (one (8,128) vreg block) for per-leaf ray masking — leaves usually cover
-# a fraction of the 64x64 tile, so intersections run only on the vreg
-# blocks whose slab test passed (counters: 80% of enqueued leaves die to
-# the per-ray cull, and survivors touched ~2 of 4 quarters; the
-# (4, RAY_SUB, 128) brute force was half the kernel time)
+QR = min(int(os.environ.get("SNAIL_QR", 8)), RAY_SUB)  # quarter rows:
+# sub-packet granule (one (8,128) vreg block) for per-leaf ray masking —
+# leaves usually cover a fraction of the pixel tile, so intersections run
+# only on the vreg blocks whose slab test passed. With the square-quadrant
+# ray order below, QR=8 makes each granule a 32x32-pixel square — the
+# tightest granule the VPU can mask (one vreg), and leaf bboxes project to
+# small squares, so it kills the most dead work (round-4 ablations: the
+# drain was ~45% of kernel time at QR=16). Clamped to RAY_SUB so the
+# SNAIL_RAY_SUB=8 config keeps NQ >= 1.
 NQ = RAY_SUB // QR  # quarters per packet
+# Square-quadrant ray order: ray k of a packet maps to a 32x32-pixel
+# quadrant q = k >> 10 and raster position (k%1024 -> (iy, ix)) inside it,
+# instead of TILE-wide raster rows. One (8, 128) vreg = one 32x32 pixel
+# square (vs a 64x16 strip), so per-quadrant leaf culls waste ~2x fewer
+# rays on the typical small leaf footprint. QX = quadrants per tile row.
+QX = TILE // 32
+_QX_SHIFT = QX.bit_length() - 1
 # Drain strategy A/B (perf scans): "quarter" = scalar-compacted dynamic
 # loop over surviving (leaf, quarter) pairs; "leaf" = static per-leaf
 # pl.when over whole packets (the round-1 structure).
@@ -205,11 +215,15 @@ def page_kernel_layout(pg_meta, pg_box):
     major dim (Mosaic rejects single-row slices of a (NP, L) table —
     dim 0 would carry the (8, 128) sublane tiling). Lane dims are padded
     to powers of two so the in-kernel flat->2D index split (_pg_rd) is
-    shift+mask."""
+    shift+mask, and to >= 128 lanes because Mosaic requires sliced-copy
+    shapes lane-aligned to the (8, 128) tiling even for SMEM destinations
+    (hardware-verified in tools/probe_dma.py: (NP, 8, 64) slices are
+    rejected, (NP, 8, 128) compile — the round-3 paged-test compile
+    failure at tiny page_cap)."""
     np_, ml = pg_meta.shape
     bl = pg_box.shape[1]
-    mlp = max(_next_pow2(-(-ml // 8)), 16) * 8
-    blp = max(_next_pow2(-(-bl // 8)), 16) * 8
+    mlp = max(_next_pow2(-(-ml // 8)), 128) * 8
+    blp = max(_next_pow2(-(-bl // 8)), 128) * 8
     pm = np.zeros((np_, mlp), pg_meta.dtype)
     pm[:, :ml] = pg_meta
     pb = np.zeros((np_, blp), pg_box.dtype)
@@ -366,6 +380,43 @@ def _intersect4(o, d, cols):
     return det, u, v, tmul
 
 
+def _pixel_xy(tx, ty):
+    """In-kernel pixel coordinates of every packet ray, square-quadrant
+    order: ray k -> 32x32-pixel quadrant (k >> 10), raster inside it.
+    Keeps every (8, 128) vreg block a square pixel footprint so the
+    per-quadrant leaf culls track leaf bbox projections tightly."""
+    k = (
+        jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 0) * RAY_LANE
+        + jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 1)
+    )
+    q = jax.lax.shift_right_logical(k, 10)
+    i = k & 1023
+    px = tx * TILE + jnp.left_shift(q & (QX - 1), 5) + (i & 31)
+    py = (
+        ty * TILE
+        + jnp.left_shift(jax.lax.shift_right_logical(q, _QX_SHIFT), 5)
+        + jax.lax.shift_right_logical(i, 5)
+    )
+    return px.astype(jnp.float32), py.astype(jnp.float32)
+
+
+def kernel_ray_index(width: int, height: int) -> np.ndarray:
+    """Host-side map: kernel packet-order ray r -> flat pixel index
+    py * width + px (the inverse of the in-kernel _pixel_xy order).
+    Used by tests and by callers that need to compare against raster-order
+    oracles."""
+    tiles_x = width // TILE
+    p = tiles_x * (height // TILE)
+    k = np.arange(PACKET_R)
+    q, i = k >> 10, k & 1023
+    pxk = ((q & (QX - 1)) << 5) + (i & 31)
+    pyk = ((q >> _QX_SHIFT) << 5) + (i >> 5)
+    pid = np.arange(p)
+    px = (pid % tiles_x)[:, None] * TILE + pxk[None, :]
+    py = (pid // tiles_x)[:, None] * TILE + pyk[None, :]
+    return (py * width + px).reshape(-1)
+
+
 def _traverse(tbl_ref, box_ref, signs_ref, o, idir, limit_fn, leaf_fn,
               stack_ref):
     """Shared stack-traversal loop (the TraversePrimaryN/TraverseShadow
@@ -471,12 +522,7 @@ def _camera_kernel(tbl_ref, box_ref, cam_ref, signs_ref, tris_hbm,
     tx = pid % tiles_x
     ty = pid // tiles_x
 
-    k = (
-        jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 0) * RAY_LANE
-        + jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 1)
-    )
-    px = (tx * TILE + k % TILE).astype(jnp.float32)
-    py = (ty * TILE + k // TILE).astype(jnp.float32)
+    px, py = _pixel_xy(tx, ty)
     x = (px + 0.5 - cam_ref[12]) * cam_ref[14]
     y = (cam_ref[13] - py - 0.5) * cam_ref[14]
 
@@ -1203,12 +1249,7 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
     tx = pid % tiles_x
     ty = pid // tiles_x
 
-    k = (
-        jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 0) * RAY_LANE
-        + jax.lax.broadcasted_iota(jnp.int32, (RAY_SUB, RAY_LANE), 1)
-    )
-    px = (tx * TILE + k % TILE).astype(jnp.float32)
-    py = (ty * TILE + k // TILE).astype(jnp.float32)
+    px, py = _pixel_xy(tx, ty)
     x = (px + 0.5 - cam_ref[12]) * cam_ref[14]
     y = (cam_ref[13] - py - 0.5) * cam_ref[14]
 

@@ -33,11 +33,24 @@ import jax.numpy as jnp
 from ..core.types import Camera, Light, RenderOpts
 from ..core.vecmath import BIG
 from ..ops.traverse_pallas import (
+    QX,
     TILE,
     any_hit_shared,
     camera_trace,
     closest_hit_c,
 )
+
+
+def _packets_to_image(cr, cg, cb, width: int, height: int):
+    """Kernel packet order -> (H, W, 3) image. Rays arrive as TILE x TILE
+    pixel tiles cut into 32x32-pixel quadrants (traverse_pallas._pixel_xy):
+    flat order is (ty, tx, qy, qx, iy, ix). One transpose, like the
+    reference's Z-order Decompose (ray_generator.cpp:83-150)."""
+    img = jnp.stack([cr, cg, cb], axis=0).reshape(
+        3, height // TILE, width // TILE, TILE // 32, QX, 32, 32
+    )
+    img = img.transpose(1, 3, 5, 2, 4, 6, 0).reshape(height, width, 3)
+    return img
 
 
 def _take(a, idx):
@@ -68,7 +81,8 @@ def _small_lookup(tbl, idx):
 
 def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
                      depth: int, diff: bool = False, stats_out=None,
-                     sh_row=None, normals=None, any_hit=None, bounce=None):
+                     sh_row=None, normals=None, any_hit=None, bounce=None,
+                     tile_hw=(32, 32)):
     """Shading + lights + bounces for one traced wavefront (components).
 
     o3 may be a shared origin tuple of scalars (primary) or (R,) arrays.
@@ -104,6 +118,13 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
 
     mp = sh[16:32]  # material row, no second gather
     if diff:
+        # diff=True assumes the 42-row _diff_pack gather (mat id at row
+        # 41); a plain 32-row sh_pack gather would silently clamp the
+        # out-of-range row index to 31 — fail loudly instead
+        assert sh.shape[0] >= 42, (
+            "diff=True needs the _diff_pack sh_row (42 rows), got "
+            f"{sh.shape[0]}"
+        )
         # primal material colors by mat id (id rides the packed row);
         # transposed small-table gathers keep (3, R) outputs dense
         mid = sh[41].astype(jnp.int32)
@@ -125,10 +146,17 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
 
         uvs = jnp.stack([uc, vc], axis=-1)
         # texDiff mip selection (scene_inl.h:294) for primary rays, whose
-        # TILE x TILE packet order preserves pixel adjacency; bounce
-        # wavefronts have no screen footprint -> mip 0 (reference computes
-        # texDiff per primary 2x2 block only)
-        diff_uv = uv_footprint(uvs, (TILE, TILE), hit) if depth == 0 else None
+        # 32x32-quadrant packet order preserves pixel adjacency (every
+        # block of 1024 consecutive rays is one 32x32 pixel raster,
+        # traverse_pallas._pixel_xy); bounce wavefronts have no screen
+        # footprint -> mip 0 (reference computes texDiff per primary 2x2
+        # block only). Callers with a different ray tiling (instancing)
+        # pass their own tile_hw; tile_hw=None or a degenerate (1, 1)
+        # tiling disables the footprint instead of computing garbage.
+        use_fp = (depth == 0 and tile_hw is not None
+                  and tile_hw[0] * tile_hw[1] > 1
+                  and uvs.shape[0] % (tile_hw[0] * tile_hw[1]) == 0)
+        diff_uv = uv_footprint(uvs, tile_hw, hit) if use_fp else None
         if (opts.tex_filter == "sat" and scene.tex_sat is not None
                 and diff_uv is not None):
             rgb = sample_sat_atlas(scene.tex_sat, scene.tex_meta, tex_id,
@@ -347,15 +375,18 @@ def _recompute_from_rows(row, o3, d3):
 
 def _primary_dirs_planar(camera: Camera, width: int, height: int):
     """Differentiable primary-ray directions as flat (R,) components in
-    the kernel's TILE x TILE packet order (mirrors the in-kernel raygen
-    formula bit for bit; camera gradients flow here)."""
+    the kernel's square-quadrant packet order (mirrors the in-kernel
+    raygen _pixel_xy bit for bit; camera gradients flow here)."""
     tiles_x = width // TILE
     p = tiles_x * (height // TILE)
     pid = jnp.arange(p, dtype=jnp.int32)
     k = jnp.arange(TILE * TILE, dtype=jnp.int32)
-    px = ((pid % tiles_x)[:, None] * TILE + (k % TILE)[None, :]).astype(
+    q, i = k >> 10, k & 1023
+    pxk = ((q & (QX - 1)) << 5) + (i & 31)
+    pyk = ((q >> (QX.bit_length() - 1)) << 5) + (i >> 5)
+    px = ((pid % tiles_x)[:, None] * TILE + pxk[None, :]).astype(
         jnp.float32)
-    py = ((pid // tiles_x)[:, None] * TILE + (k // TILE)[None, :]).astype(
+    py = ((pid // tiles_x)[:, None] * TILE + pyk[None, :]).astype(
         jnp.float32)
     x = (px + 0.5 - width * 0.5) * jnp.float32(1.0 / height)
     y = (height * 0.5 - py - 0.5) * jnp.float32(1.0 / height)
@@ -421,12 +452,7 @@ def render_frame_fast(scene, camera: Camera, width: int, height: int,
             scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0
         )
 
-    # packet order -> image: (3, P, 32, 32) -> (H, W, 3); the one transpose
-    img = jnp.stack([cr, cg, cb], axis=0).reshape(
-        3, height // TILE, width // TILE, TILE, TILE
-    )
-    img = img.transpose(1, 3, 2, 4, 0).reshape(height, width, 3)
-    return img
+    return _packets_to_image(cr, cg, cb, width, height)
 
 
 def stats_path_available(scene) -> bool:
@@ -469,10 +495,7 @@ def render_frame_fast_stats(scene, camera: Camera, width: int, height: int,
             scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0,
             stats_out=stats_out,
         )
-    img = jnp.stack([cr, cg, cb], axis=0).reshape(
-        3, height // TILE, width // TILE, TILE, TILE
-    )
-    img = img.transpose(1, 3, 2, 4, 0).reshape(height, width, 3)
+    img = _packets_to_image(cr, cg, cb, width, height)
 
     import numpy as np
 
@@ -525,10 +548,7 @@ def render_frame_fast_diff(scene, camera: Camera, width: int, height: int,
         scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0, diff=True,
         sh_row=row
     )
-    img = jnp.stack([cr, cg, cb], axis=0).reshape(
-        3, height // TILE, width // TILE, TILE, TILE
-    )
-    img = img.transpose(1, 3, 2, 4, 0).reshape(height, width, 3)
+    img = _packets_to_image(cr, cg, cb, width, height)
     return img
 
 

@@ -207,4 +207,8 @@ def load_any(path: str, **kw) -> BaseScene:
         return load_list(path, **kw)
     if path.endswith(".obj"):
         return load_wavefront_obj(path)
+    if path.endswith(".v3o"):
+        from .desperados2 import load_v3o
+
+        return load_v3o(path, **kw)
     raise ValueError(f"Unrecognized format: {path}")

@@ -169,7 +169,7 @@ def world_normal(iscene: InstancedScene, inst, n3):
 
 
 def _instanced_trace_and_shade(iscene: InstancedScene, o3, d3, tmax,
-                               opts, depth: int):
+                               opts, depth: int, tile_hw=None):
     """Instanced closest hit + FULL packed Whitted shading (the DBVH
     scenes feed the same Scene::RayTrace in the reference,
     dbvh/traverse.cpp:14-76 + scene_inl.h:169-496): specular, textures,
@@ -195,11 +195,11 @@ def _instanced_trace_and_shade(iscene: InstancedScene, o3, d3, tmax,
 
     def bounce(bo3, bd3, btm, bdepth):
         return _instanced_trace_and_shade(iscene, bo3, bd3, btm, opts,
-                                          bdepth)
+                                          bdepth, tile_hw=None)
 
     return _shade_and_light(base, o3, d3, dist, u, v, tri, opts, depth,
                             sh_row=sh, normals=normals, any_hit=any_hit,
-                            bounce=bounce)
+                            bounce=bounce, tile_hw=tile_hw)
 
 
 def render_instanced(iscene: InstancedScene, camera, width: int, height: int,
@@ -221,6 +221,7 @@ def render_instanced(iscene: InstancedScene, camera, width: int, height: int,
 
     o3 = (o[:, 0], o[:, 1], o[:, 2])
     d3 = (d[:, 0], d[:, 1], d[:, 2])
-    cr, cg, cb = _instanced_trace_and_shade(iscene, o3, d3, tmax, opts, 0)
+    cr, cg, cb = _instanced_trace_and_shade(iscene, o3, d3, tmax, opts, 0,
+                                            tile_hw=(th, tw))
     color = jnp.stack([cr, cg, cb], -1)
     return untile_image(color.reshape(-1, th * tw, 3), height, width, th, tw)

@@ -203,43 +203,82 @@ def build_sat_atlas(atlas, meta) -> "jnp.ndarray":
     return jnp.asarray(sats, jnp.float32)
 
 
+def _sat_axis_segments(c, hw, n, full):
+    """Wrap-aware texel interval [c-hw, c+hw] on an n-texel (pow2) axis.
+
+    Returns two inclusive segments (a0, a1) and (b0, b1); the second is
+    empty (b1 < b0) unless the interval straddles the wrap seam — the
+    reference SATSampler wraps its rect coords the same way
+    (sat_sampler.cpp:56-80). ``full`` forces the whole axis (the
+    reference's size >= 0.5 average fallback, sat_sampler.cpp:52)."""
+    i0 = jnp.floor((c - hw) * n.astype(jnp.float32)).astype(jnp.int32)
+    i1 = jnp.floor((c + hw) * n.astype(jnp.float32)).astype(jnp.int32)
+    whole = full | ((i1 - i0 + 1) >= n)
+    m0 = jnp.where(whole, 0, i0 & (n - 1))  # pow2 wrap (wMask/hMask)
+    m1 = jnp.where(whole, n - 1, i1 & (n - 1))
+    wrapped = m0 > m1
+    a1 = jnp.where(wrapped, n - 1, m1)
+    b1 = jnp.where(wrapped, m1, -1)  # empty when not wrapped
+    return m0, a1, jnp.zeros_like(m0), b1
+
+
 def sample_sat_atlas(sat_atlas, meta, tex_id, uv, diff_uv):
-    """Box-filtered fetch over the uv footprint via 4 SAT taps per ray
-    (SATSampler::Sample, sat_sampler.h:29-57) — the large-footprint
-    complement to mip point/bilinear sampling."""
+    """Box-filtered fetch over the uv footprint via SAT rect sums
+    (SATSampler::operator(), sat_sampler.cpp:51-86) — the large-footprint
+    complement to mip point/bilinear sampling.
+
+    Wrap addressing: a footprint straddling the [0,1) seam splits into
+    per-axis segments (up to 2x2 rect queries) and averages across the
+    seam exactly, matching the reference's wrapped-rect intent (its
+    two-rect combination under-counts the double-wrap corner; the exact
+    product form here does not). The vertical flip happens in TEXEL space
+    ((h-1) - y, like the point/bilinear taps) so all three samplers
+    agree on orientation."""
     tid = jnp.maximum(tex_id, 0)
     m = jnp.take(meta, tid, axis=0)
-    w = m[..., 0].astype(jnp.float32)
-    h = m[..., 1].astype(jnp.float32)
-    half = 0.5 * jnp.maximum(diff_uv, 1e-6)
-    # wrap the CENTER into [0,1); clamp the rect (SAT can't wrap)
+    wi = m[..., 0]
+    hi = m[..., 1]
+    size_u = jnp.maximum(diff_uv[..., 0], 1e-6)
+    size_v = jnp.maximum(diff_uv[..., 1], 1e-6)
+    # reference: either-axis footprint >= half the texture -> whole-texture
+    # average (sat_sampler.cpp:52)
+    full = (size_u >= 0.5) | (size_v >= 0.5)
     cu = uv[..., 0] - jnp.floor(uv[..., 0])
     cv = uv[..., 1] - jnp.floor(uv[..., 1])
-    cv = 1.0 - cv  # vertical flip, as the point sampler
-    x0 = jnp.clip(((cu - half[..., 0]) * w).astype(jnp.int32), 0,
-                  m[..., 0] - 1)
-    x1 = jnp.clip(((cu + half[..., 0]) * w).astype(jnp.int32), 0,
-                  m[..., 0] - 1)
-    y0 = jnp.clip(((cv - half[..., 1]) * h).astype(jnp.int32), 0,
-                  m[..., 1] - 1)
-    y1 = jnp.clip(((cv + half[..., 1]) * h).astype(jnp.int32), 0,
-                  m[..., 1] - 1)
-    x1 = jnp.maximum(x1, x0)
-    y1 = jnp.maximum(y1, y0)
+
+    ua0, ua1, ub0, ub1 = _sat_axis_segments(cu, 0.5 * size_u, wi, full)
+    va0, va1, vb0, vb1 = _sat_axis_segments(cv, 0.5 * size_v, hi, full)
+    # texture-v segment [a, b] -> SAT rows [h-1-b, h-1-a] (texel flip)
+    fva0, fva1 = hi - 1 - va1, hi - 1 - va0
+    fvb0, fvb1 = hi - 1 - vb1, hi - 1 - vb0
+
     s = sat_atlas
 
     def t(yy, xx, on):
         v = s[tid, yy, xx]
         return jnp.where(on[..., None], v, 0.0)
 
+    def rect(y0, y1, x0, x1):
+        """Inclusive SAT rect sum; empty (x1<x0 or y1<y0) -> 0."""
+        on = (x1 >= x0) & (y1 >= y0)
+        y0c = jnp.clip(y0, 0, None)
+        x0c = jnp.clip(x0, 0, None)
+        total = (
+            t(y1, x1, on)
+            - t(jnp.maximum(y0c - 1, 0), x1, on & (y0c > 0))
+            - t(y1, jnp.maximum(x0c - 1, 0), on & (x0c > 0))
+            + t(jnp.maximum(y0c - 1, 0), jnp.maximum(x0c - 1, 0),
+                on & (x0c > 0) & (y0c > 0))
+        )
+        return total
+
     total = (
-        s[tid, y1, x1]
-        - t(jnp.maximum(y0 - 1, 0), x1, y0 > 0)
-        - t(y1, jnp.maximum(x0 - 1, 0), x0 > 0)
-        + t(jnp.maximum(y0 - 1, 0), jnp.maximum(x0 - 1, 0),
-            (x0 > 0) & (y0 > 0))
+        rect(fva0, fva1, ua0, ua1) + rect(fva0, fva1, ub0, ub1)
+        + rect(fvb0, fvb1, ua0, ua1) + rect(fvb0, fvb1, ub0, ub1)
     )
-    area = ((x1 - x0 + 1) * (y1 - y0 + 1)).astype(jnp.float32)
+    nu = (jnp.maximum(ua1 - ua0 + 1, 0) + jnp.maximum(ub1 - ub0 + 1, 0))
+    nv = (jnp.maximum(va1 - va0 + 1, 0) + jnp.maximum(vb1 - vb0 + 1, 0))
+    area = (nu * nv).astype(jnp.float32)
     return total / area[..., None]
 
 

@@ -107,8 +107,10 @@ def test_ival_camera_trace_matches_reference(rng):
     DMA ring) against the jnp reference, full 64x64 frame of primary rays
     (leaf_size <= IVAL_LEAF selects the ival path in camera_trace)."""
     from snail_tpu.core.types import Camera
-    from snail_tpu.ops.traverse_pallas import IVAL_LEAF, TILE, camera_trace
-    from snail_tpu.render.raygen import primary_rays, tile_rays
+    from snail_tpu.ops.traverse_pallas import (
+        IVAL_LEAF, TILE, camera_trace, kernel_ray_index,
+    )
+    from snail_tpu.render.raygen import primary_rays
 
     scene = _random_scene(rng, n=300)
     assert scene.leaf_max <= IVAL_LEAF
@@ -117,7 +119,8 @@ def test_ival_camera_trace_matches_reference(rng):
     dist, u, v, tri, dx, dy, dz = camera_trace(scene, cam, w, h)
 
     origin, dirs = primary_rays(cam, w, h)
-    d = tile_rays(dirs, TILE, TILE).reshape(-1, 3)
+    # reorder the raster-order oracle rays into the kernel's packet order
+    d = dirs.reshape(-1, 3)[kernel_ray_index(w, h)]
     o = jnp.broadcast_to(origin, d.shape)
     tmax = jnp.full(d.shape[:1], BIG, jnp.float32)
     rd, rt, rb = dispatch.closest_hit(

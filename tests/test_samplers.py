@@ -68,3 +68,29 @@ def test_render_paths_accept_all_filters():
         assert np.isfinite(imgs[f]).all()
     assert np.abs(imgs["point"] - imgs["bilinear"]).max() > 1e-4
     assert np.abs(imgs["point"] - imgs["sat"]).max() > 1e-4
+
+
+def test_sat_wrap_seam_and_flip():
+    """A footprint straddling the u-wrap seam averages across the seam
+    (reference wrapped-rect addressing, sat_sampler.cpp:56-80), and the
+    SAT orientation matches the point sampler's texel-space flip."""
+    img, atlas, meta = _atlas()
+    sat = build_sat_atlas(atlas, meta)
+    tid = jnp.zeros(1, jnp.int32)
+    w = 32
+    # center on the seam, ~4-texel footprint: texels {30,31,0,1}
+    # ([-1.95, 1.95] in texel units under the reference's floor-inclusive
+    # rect convention, sat_sampler.cpp:56-60)
+    uv = jnp.asarray([[0.0, (5.5) / w]], jnp.float32)
+    duv = jnp.asarray([[3.9 / w, 0.5 / w]], jnp.float32)
+    got = np.asarray(sample_sat_atlas(sat, meta, tid, uv, duv))[0]
+    y = 32 - 1 - 5  # the point sampler's texel flip
+    expect = img[y, [30, 31, 0, 1]].mean(axis=0)
+    np.testing.assert_allclose(got, expect, atol=2e-2)
+
+    # tiny footprint at a texel center == the point tap (flip parity)
+    uv1 = jnp.asarray([[(7.0 + 0.5) / w, (9.0 + 0.5) / w]], jnp.float32)
+    duv1 = jnp.asarray([[0.4 / w, 0.4 / w]], jnp.float32)
+    got1 = np.asarray(sample_sat_atlas(sat, meta, tid, uv1, duv1))[0]
+    p = np.asarray(sample_atlas(atlas, meta, tid, uv1, filter="point"))[0]
+    np.testing.assert_allclose(got1, p, atol=2e-2)

@@ -1,5 +1,9 @@
 """Real-TPU traversal counters on the bench config (feline 1024^2)."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

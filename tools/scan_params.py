@@ -9,11 +9,18 @@ import subprocess
 import sys
 
 CONFIGS = [
-    # ray_sub, ival_leaf, nbuf, leaf_size
-    # round-1 baseline (32, 16, 8, 16) measured 22.27 ms prim / 47 frame
-    (32, 16, 16, 16),   # deeper ring = fewer syncs
-    (32, 32, 16, 32),   # fat leaves = half the walk
-    (128, 16, 16, 16),  # big packets = walk amortized 4x
+    # ray_sub, ival_leaf, nbuf, leaf_size, qr
+    # round-3 default: (32, 32, 24, 32, QR=16) ~18.4-20.6 ms prim.
+    # Round-4 ablations: the scalar WALK is ~11 ms of that (nodma), so
+    # the axes that matter are pops (leaf_size / packet size) and drain
+    # granularity (QR).
+    (32, 32, 24, 32, 16),    # baseline re-measure
+    (32, 32, 24, 32, 8),     # finer drain granule
+    (32, 64, 16, 64, 8),     # half the walk, 2x drain tris
+    (32, 16, 24, 16, 8),     # more walk, finer leaves
+    (32, 32, 48, 32, 8),     # fewer syncs
+    (128, 32, 24, 32, 8),    # 4x fewer walks (16k-ray packets)
+    (128, 64, 16, 64, 8),    # big packets + fat leaves
 ]
 
 CHILD = r"""
@@ -57,18 +64,19 @@ print(f"RESULT prim={t_prim:.2f}ms frame={t_frame:.2f}ms "
 
 
 def main():
-    for (rs, il, nb, ls) in CONFIGS:
+    for (rs, il, nb, ls, qr) in CONFIGS:
         env = dict(os.environ)
         env.update({
             "SNAIL_RAY_SUB": str(rs),
             "SNAIL_IVAL_LEAF": str(il),
             "SNAIL_NBUF": str(nb),
             "SNAIL_LEAF_SIZE": str(ls),
+            "SNAIL_QR": str(qr),
         })
         r = subprocess.run([sys.executable, "-c", CHILD], env=env,
                            capture_output=True, text=True, timeout=900)
         line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
-        tag = f"sub={rs:3d} leaf={il:2d} nbuf={nb:2d} ls={ls:2d}"
+        tag = f"sub={rs:3d} leaf={il:2d} nbuf={nb:2d} ls={ls:2d} qr={qr:2d}"
         if line:
             print(f"{tag}  {line[0][7:]}", flush=True)
         else:

@@ -18,11 +18,6 @@ from .traverse_ref import traverse_bvh_ref, traverse_bvh_shadow_ref
 def _use_pallas(scene) -> bool:
     if scene.backend == "reference" or scene.pk_meta is None:
         return False
-    if getattr(scene, "pg_meta", None) is not None:
-        # two-level scenes: only the shared-origin camera/shadow kernels
-        # have paged variants (render/fast.py reaches them directly);
-        # the general per-ray-origin kernels here are single-level
-        return False
     if scene.backend == "pallas":
         return True
     return jax.default_backend() in ("tpu", "axon")

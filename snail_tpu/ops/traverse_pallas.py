@@ -86,15 +86,14 @@ IVAL_LEAF = int(os.environ.get("SNAIL_IVAL_LEAF", 32))  # interval-kernel
 NBUF = int(os.environ.get("SNAIL_NBUF", 24))  # leaf DMA ring slots
 # (latency hiding, spu/base.h:85-135 analogue); also the chunk size of the
 # one vector<->scalar sync, so bigger rings mean fewer sync stalls
-QR = min(int(os.environ.get("SNAIL_QR", 8)), RAY_SUB)  # quarter rows:
-# sub-packet granule (one (8,128) vreg block) for per-leaf ray masking —
-# leaves usually cover a fraction of the pixel tile, so intersections run
-# only on the vreg blocks whose slab test passed. With the square-quadrant
-# ray order below, QR=8 makes each granule a 32x32-pixel square — the
-# tightest granule the VPU can mask (one vreg), and leaf bboxes project to
-# small squares, so it kills the most dead work (round-4 ablations: the
-# drain was ~45% of kernel time at QR=16). Clamped to RAY_SUB so the
-# SNAIL_RAY_SUB=8 config keeps NQ >= 1.
+QR = min(int(os.environ.get("SNAIL_QR", 16)), RAY_SUB)  # quarter rows:
+# sub-packet granule for per-leaf ray masking — leaves usually cover a
+# fraction of the pixel tile, so intersections run only on the row blocks
+# whose slab test passed. Hardware scan (round 4): QR=8 (one vreg, the
+# finest maskable granule) measured 26.8 ms vs 18.7 at QR=16 on feline
+# 1024^2 — the per-drain fixed cost (predicated region setup in the
+# dynamic survivor loop) outweighs the halved wasted rays, so 16 stays.
+# Clamped to RAY_SUB so the SNAIL_RAY_SUB=8 config keeps NQ >= 1.
 NQ = RAY_SUB // QR  # quarters per packet
 # Square-quadrant ray order: ray k of a packet maps to a 32x32-pixel
 # quadrant q = k >> 10 and raster position (k%1024 -> (iy, ix)) inside it,
@@ -728,6 +727,50 @@ def _box6(box_ref, node):
     return tuple(box_ref[b + k] for k in range(6))
 
 
+def _ival_bounds_g(o, idir):
+    """Per-packet interval bounds for PER-RAY-ORIGIN packets (the full
+    RayInterval of the reference, ray_group.h:293-338: min/max of origin
+    AND inverse direction). Returns per-axis (imin, imax, omin, omax) and
+    near-child signs. No span flag: the 8-corner product test below is
+    exact over the (origin x idir) rectangle even when a direction
+    component crosses zero (products over a rectangle extremize at
+    corners)."""
+    out = []
+    signs = []
+    for k in range(3):
+        im = jnp.min(idir[k])
+        iM = jnp.max(idir[k])
+        out.append((im, iM, jnp.min(o[k]), jnp.max(o[k])))
+        signs.append((im + iM < 0.0).astype(jnp.int32))
+    return tuple(out), tuple(signs)
+
+
+def _ival_test_vals_g(box6, bnds, maxb):
+    """Conservative whole-packet slab test with origin intervals: per
+    axis, min/max of (plane - o) * i over o in [omin, omax] x i in
+    [imin, imax] — 8 corner products per axis (BBox::TestInterval with
+    a full RayInterval, bounding_box.cpp:208-236)."""
+    tn = jnp.float32(0.0)
+    tf = maxb
+    for k in range(3):
+        im, iM, om, oM = bnds[k]
+        a1 = box6[k] - om
+        a2 = box6[k] - oM
+        c1 = box6[3 + k] - om
+        c2 = box6[3 + k] - oM
+        lo_min = jnp.minimum(jnp.minimum(a1 * im, a1 * iM),
+                             jnp.minimum(a2 * im, a2 * iM))
+        lo_max = jnp.maximum(jnp.maximum(a1 * im, a1 * iM),
+                             jnp.maximum(a2 * im, a2 * iM))
+        hi_min = jnp.minimum(jnp.minimum(c1 * im, c1 * iM),
+                             jnp.minimum(c2 * im, c2 * iM))
+        hi_max = jnp.maximum(jnp.maximum(c1 * im, c1 * iM),
+                             jnp.maximum(c2 * im, c2 * iM))
+        tn = jnp.maximum(tn, jnp.minimum(lo_min, hi_min))
+        tf = jnp.minimum(tf, jnp.maximum(lo_max, hi_max))
+    return (tn <= tf) & (tf > 0.0)
+
+
 # --- dense node-mask pre-pass ---------------------------------------------
 # The scalar interval test (~45 scalar ops) ran TWICE per node visit and
 # dominated the walk (counters: ~90k pops/frame on feline 1024^2, walk =
@@ -792,6 +835,44 @@ def _mask_prologue(boxv_ref, o, bnds, maxb0, nmv_ref, nms_ref, nmsem):
     cp.wait()
 
 
+def _mask_prologue_g(boxv_ref, bnds, maxb0, nmv_ref, nms_ref, nmsem):
+    """Dense node pre-test for PER-RAY-ORIGIN packets: the 8-corner
+    product interval test (_ival_test_vals_g) evaluated for ALL nodes on
+    the VPU and bit-packed exactly like _mask_prologue. The bounds are
+    still per-packet scalars (origin interval + idir interval), so the
+    dense form applies unchanged."""
+    nv = boxv_ref.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_LANE), 0)
+    for a in range(nv):
+        tn = jnp.zeros((8, RAY_LANE), jnp.float32)
+        tf = jnp.zeros((8, RAY_LANE), jnp.float32) + maxb0
+        for k in range(3):
+            im, iM, om, oM = bnds[k]
+            a1 = boxv_ref[k, a] - om
+            a2 = boxv_ref[k, a] - oM
+            c1 = boxv_ref[3 + k, a] - om
+            c2 = boxv_ref[3 + k, a] - oM
+            lo_min = jnp.minimum(jnp.minimum(a1 * im, a1 * iM),
+                                 jnp.minimum(a2 * im, a2 * iM))
+            lo_max = jnp.maximum(jnp.maximum(a1 * im, a1 * iM),
+                                 jnp.maximum(a2 * im, a2 * iM))
+            hi_min = jnp.minimum(jnp.minimum(c1 * im, c1 * iM),
+                                 jnp.minimum(c2 * im, c2 * iM))
+            hi_max = jnp.maximum(jnp.maximum(c1 * im, c1 * iM),
+                                 jnp.maximum(c2 * im, c2 * iM))
+            tn = jnp.maximum(tn, jnp.minimum(lo_min, hi_min))
+            tf = jnp.minimum(tf, jnp.maximum(lo_max, hi_max))
+        ok = ((tn <= tf) & (tf > 0.0)).astype(jnp.int32)
+        w = jnp.left_shift(ok, sub)
+        w = w | pltpu.roll(w, 4, 0)
+        w = w | pltpu.roll(w, 2, 0)
+        w = w | pltpu.roll(w, 1, 0)
+        nmv_ref[a:a + 1, :] = w[0:1, :]
+    cp = pltpu.make_async_copy(nmv_ref, nms_ref, nmsem)
+    cp.start()
+    cp.wait()
+
+
 def _nm_bit(nm_ref, n):
     """Scalar read of node n's pre-test bit from the SMEM word table."""
     w = nm_ref[jax.lax.shift_right_logical(n, 10), n & 127]
@@ -836,7 +917,7 @@ PG_SLOTS = int(os.environ.get("SNAIL_PG_SLOTS", 4))  # direct-mapped page
 # alternations stop re-streaming 80 KB per visit. Power of two.
 
 
-def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
+def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
                    qlist_ref, lbox_ref, stats_ref=None, pages=None,
@@ -963,8 +1044,8 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
             near = child + bit
             far = child + 1 - bit
             if nm_ref is None:
-                pf = _ival_test_vals(_node_box6(far), o, bnds, maxb)
-                pn = _ival_test_vals(_node_box6(near), o, bnds, maxb)
+                pf = itest(_node_box6(far), maxb)
+                pn = itest(_node_box6(near), maxb)
             elif pages is None:
                 # dense pre-pass did the interval math on the VPU
                 pf = _nm_bit(nm_ref, far)
@@ -974,14 +1055,12 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
                 # (transient, paged over) keep the scalar test
                 pf = jax.lax.cond(
                     in_pg,
-                    lambda: _ival_test_vals(
-                        _pg_box6(pbox_ref, cur8, far), o, bnds, maxb),
+                    lambda: itest(_pg_box6(pbox_ref, cur8, far), maxb),
                     lambda: _nm_bit(nm_ref, far),
                 )
                 pn = jax.lax.cond(
                     in_pg,
-                    lambda: _ival_test_vals(
-                        _pg_box6(pbox_ref, cur8, near), o, bnds, maxb),
+                    lambda: itest(_pg_box6(pbox_ref, cur8, near), maxb),
                     lambda: _nm_bit(nm_ref, near),
                 )
             if pages is not None:
@@ -1142,7 +1221,7 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
         )
         return sp, chunk_drain(nq, maxb)
 
-    root_ok = _ival_test(box_ref, 0, o, bnds, maxb0)
+    root_ok = itest(_box6(box_ref, 0), maxb0)
     stack_ref[0] = 0
     sp0 = root_ok.astype(jnp.int32)
     jax.lax.while_loop(
@@ -1302,7 +1381,8 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
         nm_ref = None
     lim_fn, process_fn = _closest_ival_drain(
         d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
-    _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
+    itest = lambda box6, maxb: _ival_test_vals(box6, o, bnds, maxb)
+    _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
                    qlist_ref, lbox_ref, stats_ref, pages, nm_ref)
@@ -1388,7 +1468,8 @@ def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
     lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
                                             tscratch, blocked_ref)
-    _traverse_ival(tbl_ref, box_ref, o, idir, bnds, signs, maxb0,
+    itest = lambda box6, maxb: _ival_test_vals(box6, o, bnds, maxb)
+    _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
                    lim_fn, process_fn,
                    tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
                    qlist_ref, lbox_ref, stats_ref, pages, nm_ref)
@@ -1435,6 +1516,254 @@ def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref, boxv_ref,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
                       lbox_ref, sems, nmv_ref, nms_ref, nmsem, st_ref)
+
+
+# ---------------------------------------------------------------------------
+# General per-ray-origin interval kernels (closest + any-hit), flat & paged
+#
+# The wavefront bounce/occlusion kernels: same decoupled scalar walk +
+# node-mask pre-pass + leaf DMA ring as the shared-origin kernels, but the
+# packet interval carries an ORIGIN interval too (_ival_bounds_g — the
+# reference's full RayInterval, ray_group.h:293-338) and leaves intersect
+# with the full Moller test (no shared-origin precompute). This is what
+# lets reflection/transparency rays traverse paged (any-size) scenes in
+# Pallas — the reference's traversal has no scene-size cap either
+# (bvh/traverse.cpp:14-149, scene_inl.h:434-458).
+#
+# Callers MUST substitute masked rays' origin/dir with values inside the
+# packet's live cone (closest_hit_c does): garbage origins (e.g. miss
+# points at BIG) would blow the packet interval open and kill every cull.
+# ---------------------------------------------------------------------------
+
+
+def _closest_ival_drain_g(o_refs, d_refs, tscratch,
+                          best_ref, bu_ref, bv_ref, tri_ref):
+    """Closest-hit leaf processing with per-ray origins (full Moller,
+    _intersect4), quarter-granular like _closest_ival_drain."""
+
+    def lim_fn():
+        return best_ref[:, :]
+
+    def process_fn(slot, first, count, q):
+        ts = tscratch.at[slot]
+        r = slice(0, RAY_SUB) if q is None else pl.ds(q * QR, QR)
+        o = (o_refs[0][r, :], o_refs[1][r, :], o_refs[2][r, :])
+        d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
+        for blk in range(IVAL_LEAF // 4):
+            r0 = blk * 4
+
+            @pl.when(r0 < count)
+            def _(r0=r0):
+                det, u, v, tmul = _intersect4(o, d, _tri_cols(ts, r0))
+                duv = det - u - v
+                side = (jnp.maximum(u, jnp.maximum(v, duv)) <= 0.0) | (
+                    jnp.minimum(u, jnp.minimum(v, duv)) >= 0.0
+                )
+                idet = 1.0 / jnp.where(det == 0.0, 1e-30, det)
+                dist = tmul * idet
+                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
+                ok = side & (det != 0.0) & (dist > 0.0) & ((r0 + row) < count)
+                dist = jnp.where(ok, dist, BIG)
+                m = jnp.min(dist, axis=0)
+                upd = m < best_ref[r, :]
+                is_min = (dist == m[None]) & ok
+                ids = first + r0 + row
+                tid = jnp.min(
+                    jnp.where(is_min, ids, jnp.int32(2**30)), axis=0
+                )
+                sel_u = jnp.max(jnp.where(is_min, u * idet, -BIG), axis=0)
+                sel_v = jnp.max(jnp.where(is_min, v * idet, -BIG), axis=0)
+                best_ref[r, :] = jnp.where(upd, m, best_ref[r, :])
+                tri_ref[r, :] = jnp.where(upd, tid, tri_ref[r, :])
+                bu_ref[r, :] = jnp.where(upd, sel_u, bu_ref[r, :])
+                bv_ref[r, :] = jnp.where(upd, sel_v, bv_ref[r, :])
+
+    return lim_fn, process_fn
+
+
+def _shadow_ival_drain_g(o_refs, d_refs, tm_ref, limit, tscratch,
+                         blocked_ref):
+    """Any-hit leaf processing with per-ray origins (single-sided shadow
+    rule, triangle.cpp:95-96), quarter-granular."""
+
+    def lim_fn():
+        return jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit)
+
+    def process_fn(slot, first, count, q):
+        ts = tscratch.at[slot]
+        r = slice(0, RAY_SUB) if q is None else pl.ds(q * QR, QR)
+        o = (o_refs[0][r, :], o_refs[1][r, :], o_refs[2][r, :])
+        d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
+        limq = tm_ref[0, r, :]
+        limq = jnp.where(limq >= 0.0, limq, -BIG)
+        for blk in range(IVAL_LEAF // 4):
+            r0 = blk * 4
+
+            @pl.when(r0 < count)
+            def _(r0=r0):
+                det, u, v, tmul = _intersect4(o, d, _tri_cols(ts, r0))
+                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
+                occ = (
+                    (jnp.minimum(u, v) >= 0.0)
+                    & (u + v <= det)
+                    & (tmul > 0.0)
+                    & (tmul < limq[None] * det)
+                    & ((r0 + row) < count)
+                )
+                occ_any = jnp.max(jnp.where(occ, 1.0, 0.0), axis=0)
+                blocked_ref[r, :] = jnp.maximum(blocked_ref[r, :], occ_any)
+
+    return lim_fn, process_fn
+
+
+def _closest_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                         tm_ref, tris_hbm,
+                         dist_ref, u_ref, v_ref, tri_out,
+                         best_ref, bu_ref, bv_ref, tri_ref,
+                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                         lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                         pages=None):
+    o = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+    bnds, signs = _ival_bounds_g(o, idir)
+
+    active = tmax >= 0.0
+    best_ref[:, :] = jnp.where(active, jnp.minimum(tmax, BIG), -BIG)
+    bu_ref[:, :] = jnp.zeros_like(tmax)
+    bv_ref[:, :] = jnp.zeros_like(tmax)
+    tri_ref[:, :] = jnp.full(tmax.shape, -1, jnp.int32)
+    maxb0 = jnp.max(best_ref[:, :])
+
+    itest = lambda box6, maxb: _ival_test_vals_g(box6, bnds, maxb)
+    if _NMASK:
+        _mask_prologue_g(boxv_ref, bnds, maxb0, nmv_ref, nms_ref, nmsem)
+        nm_ref = nms_ref
+    else:
+        nm_ref = None
+    o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+    lim_fn, process_fn = _closest_ival_drain_g(
+        o_refs, d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
+    _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
+                   lim_fn, process_fn,
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
+                   qlist_ref, lbox_ref, None, pages, nm_ref)
+
+    # tri == -1 -> no hit: BIG for active rays, -BIG sentinel for masked
+    hit = tri_ref[:, :] >= 0
+    dist_ref[0] = jnp.where(hit, best_ref[:, :],
+                            jnp.where(active, BIG, -BIG))
+    u_ref[0] = bu_ref[:, :]
+    v_ref[0] = bv_ref[:, :]
+    tri_out[0] = jnp.maximum(tri_ref[:, :], 0)
+
+
+def _closest_ival_kernel_g(tbl_ref, box_ref, boxv_ref,
+                           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                           tm_ref, tris_hbm,
+                           dist_ref, u_ref, v_ref, tri_out,
+                           best_ref, bu_ref, bv_ref, tri_ref,
+                           tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                           lbox_ref, sems, nmv_ref, nms_ref, nmsem):
+    _closest_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                         tm_ref, tris_hbm,
+                         dist_ref, u_ref, v_ref, tri_out,
+                         best_ref, bu_ref, bv_ref, tri_ref,
+                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                         lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
+
+
+def _closest_ival_kernel_g_paged(tbl_ref, box_ref, boxv_ref,
+                                 ox_ref, oy_ref, oz_ref,
+                                 dx_ref, dy_ref, dz_ref,
+                                 tm_ref, tris_hbm, pg_meta_hbm, pg_box_hbm,
+                                 dist_ref, u_ref, v_ref, tri_out,
+                                 best_ref, bu_ref, bv_ref, tri_ref,
+                                 tscratch, stack_ref, lq_ref, bits_ref,
+                                 qlist_ref, lbox_ref, sems,
+                                 pmeta_ref, pbox_ref, ptag_ref, psem,
+                                 nmv_ref, nms_ref, nmsem):
+    _closest_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                         tm_ref, tris_hbm,
+                         dist_ref, u_ref, v_ref, tri_out,
+                         best_ref, bu_ref, bv_ref, tri_ref,
+                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                         lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                         (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
+                          ptag_ref, psem))
+
+
+def _shadow_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tm_ref, tris_hbm,
+                        out_ref, blocked_ref,
+                        tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                        lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                        pages=None):
+    o = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+    bnds, signs = _ival_bounds_g(o, idir)
+
+    active = tmax >= 0.0
+    blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
+    limit = jnp.where(active, tmax, -BIG)
+    maxb0 = jnp.max(limit)
+
+    itest = lambda box6, maxb: _ival_test_vals_g(box6, bnds, maxb)
+    if _NMASK:
+        _mask_prologue_g(boxv_ref, bnds, maxb0, nmv_ref, nms_ref, nmsem)
+        nm_ref = nms_ref
+    else:
+        nm_ref = None
+    o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+    lim_fn, process_fn = _shadow_ival_drain_g(
+        o_refs, d_refs, tm_ref, limit, tscratch, blocked_ref)
+    _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
+                   lim_fn, process_fn,
+                   tris_hbm, tscratch, sems, stack_ref, lq_ref, bits_ref,
+                   qlist_ref, lbox_ref, None, pages, nm_ref)
+    out_ref[0] = blocked_ref[:, :]
+
+
+def _shadow_ival_kernel_g(tbl_ref, box_ref, boxv_ref,
+                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tm_ref, tris_hbm,
+                          out_ref, blocked_ref,
+                          tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                          lbox_ref, sems, nmv_ref, nms_ref, nmsem):
+    _shadow_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tm_ref, tris_hbm,
+                        out_ref, blocked_ref,
+                        tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                        lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
+
+
+def _shadow_ival_kernel_g_paged(tbl_ref, box_ref, boxv_ref,
+                                ox_ref, oy_ref, oz_ref,
+                                dx_ref, dy_ref, dz_ref,
+                                tm_ref, tris_hbm, pg_meta_hbm, pg_box_hbm,
+                                out_ref, blocked_ref,
+                                tscratch, stack_ref, lq_ref, bits_ref,
+                                qlist_ref, lbox_ref, sems,
+                                pmeta_ref, pbox_ref, ptag_ref, psem,
+                                nmv_ref, nms_ref, nmsem):
+    _shadow_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tm_ref, tris_hbm,
+                        out_ref, blocked_ref,
+                        tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
+                        lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                        (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
+                         ptag_ref, psem))
 
 
 def _ival_scratches(extra_vec: int, page_shapes=None, nv=1):
@@ -1607,6 +1936,102 @@ def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
         ),
         interpret=_interpret(),
     )(meta, box, orig, boxv, dx, dy, dz, tm, tris)
+
+
+@jax.jit
+def _run_closest_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
+    p = ox.shape[0]
+    boxv = _boxv_of(box)
+    return pl.pallas_call(
+        _closest_ival_kernel_g,
+        grid=(p,),
+        in_specs=[_smem(), _smem(),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 4,
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _ival_scratches(0, nv=boxv.shape[1])
+        ),
+        interpret=_interpret(),
+    )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris)
+
+
+@jax.jit
+def _run_closest_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
+                              pg_meta, pg_box):
+    p = ox.shape[0]
+    boxv = _boxv_of(box)
+    return pl.pallas_call(
+        _closest_ival_kernel_g_paged,
+        grid=(p,),
+        in_specs=[_smem(), _smem(),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
+        out_specs=[_blk()] * 4,
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _ival_scratches(
+                0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
+        ),
+        interpret=_interpret(),
+    )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris, pg_meta, pg_box)
+
+
+@jax.jit
+def _run_shadow_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
+    p = ox.shape[0]
+    boxv = _boxv_of(box)
+    return pl.pallas_call(
+        _shadow_ival_kernel_g,
+        grid=(p,),
+        in_specs=[_smem(), _smem(),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _ival_scratches(0, nv=boxv.shape[1])
+        ),
+        interpret=_interpret(),
+    )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris)
+
+
+@jax.jit
+def _run_shadow_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
+                             pg_meta, pg_box):
+    p = ox.shape[0]
+    boxv = _boxv_of(box)
+    return pl.pallas_call(
+        _shadow_ival_kernel_g_paged,
+        grid=(p,),
+        in_specs=[_smem(), _smem(),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _ival_scratches(
+                0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
+        ),
+        interpret=_interpret(),
+    )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris, pg_meta, pg_box)
 
 
 # ---------------------------------------------------------------------------
@@ -1843,14 +2268,37 @@ def _pad_flat(x, fill=0.0):
     return jnp.pad(x, (0, p * PACKET_R - n), constant_values=fill), n
 
 
+def _substitute_masked(comps, tm, unit_fallback=False):
+    """Replace masked rays' (tmax < 0) components with their packet's
+    mean over live rays. The general interval kernels cull with per-packet
+    origin/direction INTERVALS (_ival_bounds_g), so garbage origins/dirs
+    on masked rays (e.g. miss points at BIG) would blow the interval open
+    and kill every cull; the mean of the live rays lies inside the
+    packet's own interval, so the bounds do not widen at all. Masked
+    rays' intersections are discarded via tmax < 0 regardless."""
+    mask = tm >= 0.0
+    maskp = mask.reshape(-1, PACKET_R)
+    nlive = jnp.maximum(maskp.sum(axis=1), 1)
+    means = []
+    for c in comps:
+        cm = jnp.where(mask, c, 0.0).reshape(-1, PACKET_R)
+        means.append(jnp.repeat(cm.sum(axis=1) / nlive, PACKET_R))
+    if unit_fallback:  # fully-masked packets: keep idir finite
+        mlen = sum(m * m for m in means)
+        means[2] = jnp.where(mlen < 1e-12, 1.0, means[2])
+    return tuple(jnp.where(mask, c, m) for c, m in zip(comps, means))
+
+
 def closest_hit_c(scene, o3, d3, tmax):
     """Component-planar closest hit: o3/d3 = (x, y, z) flat (R,) arrays.
 
-    Returns (dist, u, v, tri) flat (R,). miss -> BIG, masked -> -BIG."""
-    assert getattr(scene, "pg_meta", None) is None, (
-        "general closest-hit kernel is single-level; paged scenes only "
-        "support the camera/shadow shared-origin paths"
-    )
+    Returns (dist, u, v, tri) flat (R,). miss -> BIG, masked -> -BIG.
+
+    Routing: paged scenes and leaf_max <= IVAL_LEAF take the general
+    interval kernels (per-ray-origin walk + node mask; paged variant
+    pages node subtrees on demand — this is what makes bounce rays work
+    at any scene size, reference scene_inl.h:434-458 + traverse.cpp with
+    no node cap); fat-leaf flat scenes keep the vector-culled kernel."""
     ox, n = _pad_flat(o3[0])
     oy, _ = _pad_flat(o3[1])
     oz, _ = _pad_flat(o3[2])
@@ -1859,6 +2307,25 @@ def closest_hit_c(scene, o3, d3, tmax):
     dz, _ = _pad_flat(d3[2], 1.0)
     tm, _ = _pad_flat(tmax, -BIG)
     pk = _pk
+    paged = getattr(scene, "pg_meta", None) is not None
+    if paged or scene.leaf_max <= IVAL_LEAF:
+        ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
+        dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
+                                        unit_fallback=True)
+        if paged:
+            dist, u, v, tri = _run_closest_ival_g_paged(
+                scene.pk_meta, scene.pk_box,
+                pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
+                scene.pk_tris, scene.pg_meta, scene.pg_box,
+            )
+        else:
+            dist, u, v, tri = _run_closest_ival_g(
+                scene.pk_meta, scene.pk_box,
+                pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
+                scene.pk_tris,
+            )
+        f = lambda a: a.reshape(-1)[:n]
+        return f(dist), f(u), f(v), f(tri)
     signs = _signs_of(pk(dx)[:, 0, 0], pk(dy)[:, 0, 0], pk(dz)[:, 0, 0])
     dist, u, v, tri = _run_closest(
         scene.pk_meta, scene.pk_box, signs,
@@ -1917,7 +2384,10 @@ def pallas_closest_hit(scene, orig, dirn, tmax):
 
 
 def any_hit_c(scene, o3, d3, tmax):
-    """Component-planar any-hit with per-ray origins. blocked bool (R,)."""
+    """Component-planar any-hit with per-ray origins. blocked bool (R,).
+
+    Routing as closest_hit_c: interval kernels (flat or paged) when
+    leaves fit; round-1 vector-culled kernel for fat-leaf flat scenes."""
     ox, n = _pad_flat(o3[0])
     oy, _ = _pad_flat(o3[1])
     oz, _ = _pad_flat(o3[2])
@@ -1926,6 +2396,24 @@ def any_hit_c(scene, o3, d3, tmax):
     dz, _ = _pad_flat(d3[2], 1.0)
     tm, _ = _pad_flat(tmax, -BIG)
     pk = _pk
+    paged = getattr(scene, "pg_meta", None) is not None
+    if paged or scene.leaf_max <= IVAL_LEAF:
+        ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
+        dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
+                                        unit_fallback=True)
+        if paged:
+            out = _run_shadow_ival_g_paged(
+                scene.pk_meta, scene.pk_box,
+                pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
+                scene.pk_tris, scene.pg_meta, scene.pg_box,
+            )
+        else:
+            out = _run_shadow_ival_g(
+                scene.pk_meta, scene.pk_box,
+                pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
+                scene.pk_tris,
+            )
+        return out.reshape(-1)[:n] > 0.0
     signs = _signs_of(pk(dx)[:, 0, 0], pk(dy)[:, 0, 0], pk(dz)[:, 0, 0])
     out = _run_shadow_g(
         scene.pk_meta, scene.pk_box, signs,

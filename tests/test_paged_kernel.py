@@ -78,3 +78,69 @@ def test_paged_shadow_matches_flat(scenes):
     a = np.asarray(any_hit_shared(flat, lp, sd, stm))
     b = np.asarray(any_hit_shared(paged, lp, sd, stm))
     np.testing.assert_array_equal(a, b)
+
+
+def test_paged_general_closest_matches_flat(scenes):
+    """Per-ray-origin (bounce) closest hit through the paged general
+    interval kernel vs the flat scene — the reference traces secondary
+    rays through the same BVH at any scene size (scene_inl.h:434-458)."""
+    import jax.numpy as jnp
+
+    from snail_tpu.core.vecmath import BIG
+    from snail_tpu.ops.traverse_pallas import closest_hit_c
+
+    flat, paged, cam, _ = scenes
+    rng = np.random.default_rng(7)
+    n = 500
+    o = rng.uniform(-1.5, 1.5, (3, n)).astype(np.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    tm = np.full(n, BIG, np.float32)
+    tm[:25] = -BIG  # masked rays
+    o3 = tuple(jnp.asarray(c) for c in o)
+    d3 = tuple(jnp.asarray(c) for c in d)
+    tmj = jnp.asarray(tm)
+
+    fa = [np.asarray(x) for x in closest_hit_c(flat, o3, d3, tmj)]
+    pa = [np.asarray(x) for x in closest_hit_c(paged, o3, d3, tmj)]
+    hit = (fa[0] > 0) & (fa[0] < BIG)
+    np.testing.assert_array_equal(fa[3][hit], pa[3][hit])
+    for i in range(3):
+        np.testing.assert_allclose(fa[i][hit], pa[i][hit], atol=1e-5)
+    # miss/masked sentinels agree
+    np.testing.assert_allclose(fa[0], pa[0], atol=1e-5)
+
+
+def test_paged_general_any_hit_matches_flat(scenes):
+    import jax.numpy as jnp
+
+    from snail_tpu.core.vecmath import BIG
+    from snail_tpu.ops.traverse_pallas import any_hit_c
+
+    flat, paged, _, lights = scenes
+    rng = np.random.default_rng(11)
+    n = 400
+    o = rng.uniform(-1.5, 1.5, (3, n)).astype(np.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    tm = rng.uniform(0.5, 8.0, n).astype(np.float32)
+    tm[:20] = -BIG
+    o3 = tuple(jnp.asarray(c) for c in o)
+    d3 = tuple(jnp.asarray(c) for c in d)
+    a = np.asarray(any_hit_c(flat, o3, d3, jnp.asarray(tm)))
+    b = np.asarray(any_hit_c(paged, o3, d3, jnp.asarray(tm)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_paged_render_default_opts(scenes):
+    """render_frame_fast on a paged scene with DEFAULT RenderOpts
+    (reflections on -> bounce rays through the paged general kernel);
+    round 3 crashed here with 'single-level only'."""
+    from snail_tpu.core.types import RenderOpts
+    from snail_tpu.render.fast import render_frame_fast
+
+    flat, paged, cam, _ = scenes
+    a = np.asarray(render_frame_fast(flat, cam, 64, 64, RenderOpts()))
+    b = np.asarray(render_frame_fast(paged, cam, 64, 64, RenderOpts()))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, atol=1e-4)

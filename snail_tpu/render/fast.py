@@ -82,7 +82,7 @@ def _small_lookup(tbl, idx):
 def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
                      depth: int, diff: bool = False, stats_out=None,
                      sh_row=None, normals=None, any_hit=None, bounce=None,
-                     tile_hw=(32, 32)):
+                     tile_hw=(32, 32), photon_grid=None):
     """Shading + lights + bounces for one traced wavefront (components).
 
     o3 may be a shared origin tuple of scalars (primary) or (R,) arrays.
@@ -322,6 +322,20 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         lsg = lsg + lc[1] * sm
         lsb = lsb + lc[2] * sm
 
+    # --- photon-map radiance (opt-in): the gathered irradiance joins
+    # the diffuse light sum on the FAST lane too (the reference gathers
+    # during shading in its compiled path, photons.cpp:68-195); same
+    # dense-grid estimator as the portable integrator, pinned against
+    # the kd oracle by tests/test_photon_render.py ---
+    if opts.photons and photon_grid is not None:
+        from .photons import gather_photons_grid
+
+        pts = jnp.stack([px, py, pz], axis=-1)
+        rad = gather_photons_grid(photon_grid, pts) * opts.photon_exposure
+        ldr = ldr + jnp.where(hit, rad[..., 0], 0.0)
+        ldg = ldg + jnp.where(hit, rad[..., 1], 0.0)
+        ldb = ldb + jnp.where(hit, rad[..., 2], 0.0)
+
     sr = jnp.where(hit, ksr, 0.0)
     sg = jnp.where(hit, ksg, 0.0)
     sb = jnp.where(hit, ksb, 0.0)
@@ -436,11 +450,12 @@ def _trace_and_shade(scene, o3, d3, tmax, opts, depth, diff=False):
 
 @partial(jax.jit, static_argnames=("width", "height"))
 def render_frame_fast(scene, camera: Camera, width: int, height: int,
-                      opts: RenderOpts = RenderOpts()):
+                      opts: RenderOpts = RenderOpts(), photon_grid=None):
     """Full-frame packed Whitted render. Returns [H, W, 3] float32.
 
     Requires width/height multiples of TILE (64) and a pallas-packed
-    scene."""
+    scene. ``photon_grid`` + opts.photons adds the photon-map radiance
+    term (same estimator as the portable integrator)."""
     dist, u, v, tri, dx, dy, dz = camera_trace(scene, camera, width, height)
 
     if not opts.shading:
@@ -449,7 +464,8 @@ def render_frame_fast(scene, camera: Camera, width: int, height: int,
     else:
         o3 = (camera.pos[0], camera.pos[1], camera.pos[2])
         cr, cg, cb = _shade_and_light(
-            scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0
+            scene, o3, (dx, dy, dz), dist, u, v, tri, opts, 0,
+            photon_grid=photon_grid,
         )
 
     return _packets_to_image(cr, cg, cb, width, height)

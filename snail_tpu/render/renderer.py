@@ -40,11 +40,10 @@ def render_frame(scene, camera: Camera, width: int, height: int,
     from .fast import fast_path_available, render_frame_fast
 
     scale = 2 if opts.supersample else 1
-    use_photons = opts.photons and photon_grid is not None
-    if (not use_photons
-            and fast_path_available(scene, width * scale, height * scale)):
+    if fast_path_available(scene, width * scale, height * scale):
         img = render_frame_fast(scene, camera, width * scale,
-                                height * scale, opts)
+                                height * scale, opts,
+                                photon_grid=photon_grid)
         if opts.supersample:
             img = (
                 img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2]

@@ -95,3 +95,36 @@ def test_grid_gather_tracks_kd_oracle():
     corr = float((gc * kc).sum()
                  / np.sqrt((gc * gc).sum() * (kc * kc).sum() + 1e-12))
     assert corr > 0.4, corr
+
+
+def test_photon_term_on_fast_path():
+    """The FAST lane's photon term matches the portable integrator's
+    (same grid estimator; reference gathers during shading in its
+    compiled path too, photons.cpp:68-195)."""
+    from snail_tpu.render.fast import render_frame_fast
+
+    base = cornell_scene()
+    g = base.flatten()
+    lo, hi = g.bounds()
+    bvh = build_bvh(lo, hi, leaf_size=8)
+    lights = Light.make((0.0, 3.5, 0.0), (1.0, 0.9, 0.8), 30.0)
+    scene = make_traced_scene(g, bvh, lights=lights)  # pallas-packed
+    pmap = trace_photons(scene.with_backend("reference"), n_per_light=512)
+    pg = photon_grid(pmap, np.asarray(scene.node_lo[0]),
+                     np.asarray(scene.node_hi[0]), res=16)
+    cam = Camera.look_at(pos=(0.0, 2.0, 6.0), target=(0.0, 1.5, 0.0))
+    base_opts = dict(reflections=False, transparency=False, textures=False)
+    on = RenderOpts(photons=True, photon_exposure=0.5, **base_opts)
+    off = RenderOpts(**base_opts)
+
+    fast_on = np.asarray(render_frame_fast(scene, cam, 64, 64, on,
+                                           photon_grid=pg))
+    fast_off = np.asarray(render_frame_fast(scene, cam, 64, 64, off))
+    # the photon term adds non-zero radiance on the fast lane
+    assert (fast_on - fast_off).max() > 1e-4
+
+    from snail_tpu.render.renderer import render_frame
+
+    port_on = np.asarray(render_frame(
+        scene.with_backend("reference"), cam, 64, 64, on, photon_grid=pg))
+    np.testing.assert_allclose(fast_on, port_on, atol=2e-3)

@@ -106,6 +106,12 @@ _QX_SHIFT = QX.bit_length() - 1
 # loop over surviving (leaf, quarter) pairs; "leaf" = static per-leaf
 # pl.when over whole packets (the round-1 structure).
 _DRAIN = os.environ.get("SNAIL_DRAIN", "quarter")
+# Walk v2 (flat scenes): leaves are enqueued directly from their parent
+# (their leaf-ness and counts ride the parent's w1 bits, see
+# pack_scene_arrays) so the stack only ever holds inner nodes — pops
+# cost ~180 scalar cycles each (round-4 ablations: the walk was 11 ms of
+# an 18.7 ms frame) and leaf pops were ~40%% of them.
+_WALK2 = os.environ.get("SNAIL_WALK2", "1") != "0"
 _NQ_SHIFT = NQ.bit_length() - 1  # log2(NQ) for the drain's slot decode
 _BITS_WORDS = (NBUF * NQ + 31) // 32  # quarter-bit words per chunk
 assert 32 % NQ == 0, "leaf quarter bits must not straddle words"
@@ -135,6 +141,13 @@ def pack_scene_arrays(bvh, geom_padded):
 
     meta[2n]   = child<<9 | count<<2 | axis  (leaf: count>0, child=first tri)
     meta[2n+1] = firstNode bit (reference Node::firstNode, tree.h:60-72)
+                 | left_leaf<<1 | right_leaf<<2
+                 | left_count<<3 | right_count<<10
+                 (inner nodes only: the children's leaf-ness and counts
+                 ride the parent's spare w1 bits so the flat walk can
+                 enqueue leaf children directly without ever pushing,
+                 popping, or re-reading them — pops were ~180 cycles each
+                 and leaves were ~40% of them, round-4 ablations)
     box[6n:6n+6] = lo.xyz, hi.xyz as raw f32 — no quantization; SMEM is
     large enough (~1 MB) and the dequant ALU was hot-loop scalar work.
     """
@@ -149,6 +162,7 @@ def pack_scene_arrays(bvh, geom_padded):
             f"leaf count {bvh.count.max()} exceeds LEAF_PAD {LEAF_PAD}"
         )
     assert (bvh.child < (1 << 22)).all(), "scene too large for 22-bit ids"
+    assert LEAF_PAD <= 127, "child counts must fit 7 bits of w1"
 
     w0 = (
         (bvh.child.astype(np.uint32) << 9)
@@ -156,6 +170,14 @@ def pack_scene_arrays(bvh, geom_padded):
         | (bvh.axis.astype(np.uint32) & 0x3)
     )
     w1 = bvh.first_node.astype(np.uint32) & 1
+    inner = bvh.count == 0
+    li = bvh.child[inner]  # left child ids (right = li + 1)
+    lw = np.zeros_like(w1[inner])
+    lw |= ((bvh.count[li] > 0).astype(np.uint32)) << 1
+    lw |= ((bvh.count[li + 1] > 0).astype(np.uint32)) << 2
+    lw |= (bvh.count[li].astype(np.uint32) & 0x7F) << 3
+    lw |= (bvh.count[li + 1].astype(np.uint32) & 0x7F) << 10
+    w1[inner] |= lw
     meta = np.stack([w0, w1], axis=1).astype(np.uint32)
     meta = meta.reshape(-1).view(np.int32)
 
@@ -250,7 +272,7 @@ def _pg_box6(ref, row0, node):
 def _meta(tbl_ref, node):
     """Scalar meta unpack: (child, count, axis, fnode)."""
     w0 = tbl_ref[node * 2]
-    fnode = tbl_ref[node * 2 + 1]
+    fnode = tbl_ref[node * 2 + 1] & 1  # w1 carries packed child info too
     child = jax.lax.shift_right_logical(w0, 9)
     count = jax.lax.shift_right_logical(w0, 2) & 0x7F
     axis = w0 & 0x3
@@ -976,6 +998,78 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
         for i in range(8):
             stats_ref[0, 0, i] = 0
 
+    def _enq(nq, first, count, this):
+        """Queue one leaf: start its DMA, record (first, count, id) and
+        its bbox (from the top table — flat walk only)."""
+        if _PROF != "nodma":
+            _leaf_dma(tris_hbm, tscratch, sems, nq, first).start()
+        lq_ref[nq * 3] = first
+        lq_ref[nq * 3 + 1] = count
+        lq_ref[nq * 3 + 2] = this
+        b6 = _box6(box_ref, this)
+        for k in range(6):
+            lbox_ref[nq * 6 + k] = b6[k]
+        if stats_ref is not None:
+            stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
+
+    def walk_body2(carry):
+        """Flat-scene walk, leaf-aware parent expansion: every stack
+        entry is a PASSING INNER node; its children's leaf-ness/counts
+        come from the packed w1 bits, so leaf children go straight to
+        the DMA queue and only inner children are ever pushed."""
+        sp, nq, maxb = carry
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        w0 = tbl_ref[node * 2]
+        w1 = tbl_ref[node * 2 + 1]
+        child = jax.lax.shift_right_logical(w0, 9)
+        axis = w0 & 0x3
+        fnode = w1 & 1
+        if stats_ref is not None:
+            stats_ref[0, 0, 0] = stats_ref[0, 0, 0] + 1
+        sgn = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+        bit = fnode ^ sgn
+        near = child + bit
+        far = child + 1 - bit
+        l_leaf = jax.lax.shift_right_logical(w1, 1) & 1
+        r_leaf = jax.lax.shift_right_logical(w1, 2) & 1
+        l_cnt = jax.lax.shift_right_logical(w1, 3) & 0x7F
+        r_cnt = jax.lax.shift_right_logical(w1, 10) & 0x7F
+        near_leaf = jnp.where(bit == 0, l_leaf, r_leaf)
+        far_leaf = jnp.where(bit == 0, r_leaf, l_leaf)
+        near_cnt = jnp.where(bit == 0, l_cnt, r_cnt)
+        far_cnt = jnp.where(bit == 0, r_cnt, l_cnt)
+        if nm_ref is None:
+            pf = itest(_box6(box_ref, far), maxb).astype(jnp.int32)
+            pn = itest(_box6(box_ref, near), maxb).astype(jnp.int32)
+        else:
+            pf = _nm_bit(nm_ref, far).astype(jnp.int32)
+            pn = _nm_bit(nm_ref, near).astype(jnp.int32)
+        # push passing INNER children, far first so near pops first
+        # (predicated stores — no branches)
+        stack_ref[sp] = far
+        sp = sp + pf * (1 - far_leaf)
+        stack_ref[sp] = near
+        sp = sp + pn * (1 - near_leaf)
+        # enqueue passing LEAF children, near first (bound quality)
+        en = pn * near_leaf
+
+        @pl.when(en > 0)
+        def _():
+            _enq(nq, jax.lax.shift_right_logical(tbl_ref[near * 2], 9),
+                 near_cnt, near)
+
+        nq = nq + en
+        ef = pf * far_leaf
+
+        @pl.when(ef > 0)
+        def _():
+            _enq(nq, jax.lax.shift_right_logical(tbl_ref[far * 2], 9),
+                 far_cnt, far)
+
+        nq = nq + ef
+        return sp, nq, maxb
+
     def walk_body(carry):
         sp, nq, maxb = carry
         node = stack_ref[sp - 1]
@@ -1035,7 +1129,7 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
                 lbox_ref[nq * 6 + k] = b6[k]
             if stats_ref is not None:
                 stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
-            return sp, nq + 1
+            return sp, nq + 1  # (kept verbatim for the paged walk)
 
         def inner_case(args):
             sp, nq = args
@@ -1214,10 +1308,18 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
 
         return newb
 
+    # v2 needs a root that is an inner node (leaf children are reached
+    # through their parent); single-node scenes keep the v1 walk. The
+    # node count is static (tbl shape), so this is a trace-time choice.
+    use2 = pages is None and _WALK2 and tbl_ref.shape[0] > 2
+    body = walk_body2 if use2 else walk_body
+    # v2 can enqueue up to TWO leaves per pop
+    nq_cap = NBUF - 1 if use2 else NBUF
+
     def outer_body(carry):
         sp, maxb = carry
         sp, nq, _ = jax.lax.while_loop(
-            lambda c: (c[0] > 0) & (c[1] < NBUF), walk_body, (sp, 0, maxb)
+            lambda c: (c[0] > 0) & (c[1] < nq_cap), body, (sp, 0, maxb)
         )
         return sp, chunk_drain(nq, maxb)
 

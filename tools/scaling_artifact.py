@@ -25,8 +25,87 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+_WORKER2 = r"""
+import json, os, socket, sys, time
+import numpy as np
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from snail_tpu.parallel import distributed as dist
+
+joined = dist.initialize()
+assert joined and jax.device_count() == 8
+
+from snail_tpu.core.types import Camera, Light, RenderOpts
+from snail_tpu.bvh import build_bvh
+from snail_tpu.scene.procedural import cornell_scene
+from snail_tpu.scene.scene import make_traced_scene
+
+base = cornell_scene()
+g = base.flatten()
+lo, hi = g.bounds()
+bvh = build_bvh(lo, hi, leaf_size=8)
+lights = Light.make((0.0, 3.5, 0.0), (1.0, 0.9, 0.8), 30.0)
+scene = make_traced_scene(g, bvh, lights=lights, backend="reference")
+cam = Camera.look_at(pos=(0.0, 2.0, 6.0), target=(0.0, 1.5, 0.0))
+opts = RenderOpts(textures=False, reflections=False, transparency=False)
+
+mesh = dist.global_mesh()
+scene = dist.replicate_scene(scene, mesh)
+img = dist.render_frame_multihost(scene, cam, 256, 256, opts, mesh)
+img.block_until_ready()  # warmup/compile
+t0 = time.perf_counter()
+for _ in range(3):
+    img = dist.render_frame_multihost(scene, cam, 256, 256, opts, mesh)
+img.block_until_ready()
+ms = (time.perf_counter() - t0) / 3 * 1e3
+print("RESULT " + json.dumps({"rank": jax.process_index(), "ms": ms}),
+      flush=True)
+"""
+
+
+def two_process_row():
+    """Time the SAME 8-device render split across 2 OS processes (the
+    mpirun-analogue, 4 virtual devices each): the delta vs the 1-process
+    8-device row is the process-boundary (DCN-analogue) overhead."""
+    import socket
+    import subprocess
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update({
+            "SNAIL_COORD": f"127.0.0.1:{port}",
+            "SNAIL_NPROCS": "2",
+            "SNAIL_PROC_ID": str(rank),
+            "PYTHONPATH": os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER2], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=900) for p in procs]
+    times = []
+    for so, se in outs:
+        for line in so.splitlines():
+            if line.startswith("RESULT "):
+                times.append(json.loads(line[7:])["ms"])
+    if len(times) != 2:
+        raise RuntimeError(f"2-process run failed: {outs}")
+    return max(times)  # frame time is gated by the slower rank
+
+
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r03.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r04.json"
     from snail_tpu.bvh import build_bvh
     from snail_tpu.core.types import Camera, Light, RenderOpts
     from snail_tpu.parallel import distributed as dist
@@ -44,6 +123,21 @@ def main():
 
     rows = dist.scaling_report(scene, cam, 256, 256, opts, (1, 2, 4, 8),
                                frames=3)
+    for r in rows:
+        r["processes"] = 1
+    try:
+        ms2 = two_process_row()
+        one_proc_8dev = next(r["ms"] for r in rows if r["devices"] == 8)
+        rows.append({
+            "devices": 8,
+            "processes": 2,
+            "ms": round(ms2, 2),
+            "mrays": round(256 * 256 * 2 / ms2 / 1e3, 2),
+            "efficiency": None,
+            "process_boundary_overhead_ms": round(ms2 - one_proc_8dev, 2),
+        })
+    except Exception as e:  # record the failure rather than lose the table
+        rows.append({"devices": 8, "processes": 2, "error": str(e)[:200]})
     doc = {
         "config": "cornell 256x256, 8 virtual CPU devices, tile-sharded "
                   "render (parallel/distributed.py)",
@@ -59,7 +153,12 @@ def main():
             "compile-validated by __graft_entry__.dryrun_multichip "
             "(8-device mesh, real shardings) and needs real multi-chip "
             "hardware to time (reference methodology "
-            "benchmark.txt:76-129)." % os.cpu_count()
+            "benchmark.txt:76-129). The processes=2 row re-times the "
+            "8-device render split across two OS processes "
+            "(jax.distributed, the mpirun analogue tests/"
+            "test_distributed.py proves for correctness); its delta vs "
+            "the processes=1 8-device row is the process-boundary "
+            "overhead." % os.cpu_count()
         ),
     }
     with open(out_path, "w") as f:

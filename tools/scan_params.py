@@ -14,13 +14,12 @@ CONFIGS = [
     # Round-4 ablations: the scalar WALK is ~11 ms of that (nodma), so
     # the axes that matter are pops (leaf_size / packet size) and drain
     # granularity (QR).
-    (32, 32, 24, 32, 16),    # baseline re-measure
-    (32, 32, 24, 32, 8),     # finer drain granule
-    (32, 64, 16, 64, 8),     # half the walk, 2x drain tris
-    (32, 16, 24, 16, 8),     # more walk, finer leaves
-    (32, 32, 48, 32, 8),     # fewer syncs
-    (128, 32, 24, 32, 8),    # 4x fewer walks (16k-ray packets)
-    (128, 64, 16, 64, 8),    # big packets + fat leaves
+    (32, 64, 16, 64, 16),    # half the walk, 2x drain tris
+    (32, 16, 24, 16, 16),    # more walk, finer leaves
+    (32, 32, 48, 32, 16),    # fewer syncs
+    (32, 32, 24, 32, 32),    # whole-packet drains (fewest regions)
+    (128, 32, 24, 32, 16),   # 4x fewer walks (16k-ray packets)
+    (128, 64, 24, 64, 32),   # big packets + fat leaves + fat drains
 ]
 
 CHILD = r"""
@@ -73,10 +72,14 @@ def main():
             "SNAIL_LEAF_SIZE": str(ls),
             "SNAIL_QR": str(qr),
         })
-        r = subprocess.run([sys.executable, "-c", CHILD], env=env,
-                           capture_output=True, text=True, timeout=900)
-        line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
         tag = f"sub={rs:3d} leaf={il:2d} nbuf={nb:2d} ls={ls:2d} qr={qr:2d}"
+        try:
+            r = subprocess.run([sys.executable, "-c", CHILD], env=env,
+                               capture_output=True, text=True, timeout=1500)
+        except subprocess.TimeoutExpired:
+            print(f"{tag}  TIMEOUT", flush=True)
+            continue
+        line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
         if line:
             print(f"{tag}  {line[0][7:]}", flush=True)
         else:

@@ -917,6 +917,28 @@ def _leaf_dma(tris_hbm, tscratch, sems, slot, first):
     )
 
 
+def _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem):
+    """Fill the persistent node-table scratches ONCE, at grid step 0.
+
+    SMEM-space pallas INPUTS are re-staged from HBM on every grid step,
+    and SMEM fill is slow (~37 us/packet for feline's 291 KB tables —
+    measured round 4: a walk-free kernel still cost 11 of 19 ms). Grid
+    steps run sequentially on the core and scratch persists across them,
+    so one explicit DMA at step 0 replaces 256 implicit ones."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        c1 = pltpu.make_async_copy(tbl_hbm, tbl_s, ssem.at[0])
+        c2 = pltpu.make_async_copy(box_hbm, box_s, ssem.at[1])
+        c3 = pltpu.make_async_copy(boxv_hbm, boxv_s, ssem.at[2])
+        c1.start()
+        c2.start()
+        c3.start()
+        c1.wait()
+        c2.wait()
+        c3.wait()
+
+
 def _or_across_rays(acc):
     """Bitwise-OR an (8, 128) i32 across all rays: log-step lane then
     sublane rotations; every element ends up holding the union, so one
@@ -991,37 +1013,53 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
     sx, sy, sz = signs
     if pages is not None:
         pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, ptag_ref, psem = pages
-        for i in range(PG_SLOTS):
-            ptag_ref[i] = -1
-        ptag_ref[PG_SLOTS] = 0
+
+        # the page cache PERSISTS across grid steps (scratch is carried
+        # between sequential packets on the core) — adjacent packets
+        # touch overlapping pages, so only the FIRST packet starts cold
+        # (round-3 reset every packet and re-streamed ~64 KB per fault)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for i in range(PG_SLOTS):
+                ptag_ref[i] = -1
+            ptag_ref[PG_SLOTS] = 0
     if stats_ref is not None:
         for i in range(8):
             stats_ref[0, 0, i] = 0
 
+    use2 = pages is None and _WALK2 and tbl_ref.shape[0] > 2
+
     def _enq(nq, first, count, this):
-        """Queue one leaf: start its DMA, record (first, count, id) and
-        its bbox (from the top table — flat walk only)."""
+        """Queue one leaf (flat walk v2): start its DMA and record
+        (first, count, node id). The leaf bbox is NOT copied — the chunk
+        culls read box_ref[id] directly (the table can't page out on the
+        flat path), which drops 12 SMEM ops from the enqueue hot path
+        (~180 cycles/enqueue measured, SMEM-latency-bound)."""
         if _PROF != "nodma":
             _leaf_dma(tris_hbm, tscratch, sems, nq, first).start()
         lq_ref[nq * 3] = first
         lq_ref[nq * 3 + 1] = count
         lq_ref[nq * 3 + 2] = this
-        b6 = _box6(box_ref, this)
-        for k in range(6):
-            lbox_ref[nq * 6 + k] = b6[k]
         if stats_ref is not None:
             stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
 
     def walk_body2(carry):
-        """Flat-scene walk, leaf-aware parent expansion: every stack
-        entry is a PASSING INNER node; its children's leaf-ness/counts
-        come from the packed w1 bits, so leaf children go straight to
-        the DMA queue and only inner children are ever pushed."""
-        sp, nq, maxb = carry
-        node = stack_ref[sp - 1]
-        sp = sp - 1
+        """Flat-scene walk, leaf-aware parent expansion with the
+        CURRENT NODE IN A REGISTER: every processed node is a passing
+        inner node (leaf children go straight to the DMA queue from
+        their parent, their leaf-ness/counts packed in the parent's w1
+        bits), and the near child continues in the register instead of
+        a stack store->load round trip — the walk is SMEM-latency-bound
+        (~165 cycles/iteration measured), so shortening the serial
+        pop->meta->test chain is what matters. The speculative pop load
+        for the both-children-fail case runs off the critical path."""
+        top, sp, nq, maxb = carry
+        node = top
         w0 = tbl_ref[node * 2]
         w1 = tbl_ref[node * 2 + 1]
+        # speculative pop (used only when no inner child survives);
+        # issued early so its latency hides under the meta chain
+        prev = stack_ref[jnp.maximum(sp - 1, 0)]
         child = jax.lax.shift_right_logical(w0, 9)
         axis = w0 & 0x3
         fnode = w1 & 1
@@ -1045,12 +1083,18 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
         else:
             pf = _nm_bit(nm_ref, far).astype(jnp.int32)
             pn = _nm_bit(nm_ref, near).astype(jnp.int32)
-        # push passing INNER children, far first so near pops first
-        # (predicated stores — no branches)
+        inner_n = pn * (1 - near_leaf)
+        inner_f = pf * (1 - far_leaf)
+        # far goes to memory only when near also continues in-register
         stack_ref[sp] = far
-        sp = sp + pf * (1 - far_leaf)
-        stack_ref[sp] = near
-        sp = sp + pn * (1 - near_leaf)
+        sp = sp + inner_f * inner_n
+        popped = (1 - inner_n) * (1 - inner_f)
+        top = jnp.where(
+            inner_n > 0, near,
+            jnp.where(inner_f > 0, far,
+                      jnp.where(sp > 0, prev, -1)),
+        )
+        sp = sp - popped * (sp > 0).astype(jnp.int32)
         # enqueue passing LEAF children, near first (bound quality)
         en = pn * near_leaf
 
@@ -1068,7 +1112,7 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
                  far_cnt, far)
 
         nq = nq + ef
-        return sp, nq, maxb
+        return top, sp, nq, maxb
 
     def walk_body(carry):
         sp, nq, maxb = carry
@@ -1229,12 +1273,19 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
             accs = [jnp.zeros((RAY_SUB, RAY_LANE), jnp.int32)
                     for _ in range(_BITS_WORDS)]
             for i in range(NBUF):
-                # leaf bbox captured at enqueue (lbox_ref) — node tables
-                # may have paged over since
-                lo = (lbox_ref[i * 6], lbox_ref[i * 6 + 1],
-                      lbox_ref[i * 6 + 2])
-                hi = (lbox_ref[i * 6 + 3], lbox_ref[i * 6 + 4],
-                      lbox_ref[i * 6 + 5])
+                if use2:
+                    # flat walk: read the leaf bbox straight from the
+                    # node table (no enqueue-time copy)
+                    b = lq_ref[i * 3 + 2] * 6
+                    lo = (box_ref[b], box_ref[b + 1], box_ref[b + 2])
+                    hi = (box_ref[b + 3], box_ref[b + 4], box_ref[b + 5])
+                else:
+                    # leaf bbox captured at enqueue (lbox_ref) — node
+                    # tables may have paged over since
+                    lo = (lbox_ref[i * 6], lbox_ref[i * 6 + 1],
+                          lbox_ref[i * 6 + 2])
+                    hi = (lbox_ref[i * 6 + 3], lbox_ref[i * 6 + 4],
+                          lbox_ref[i * 6 + 5])
                 m = _slab_mask(o, idir, lo, hi, lim)
                 valid = (i < nq).astype(jnp.int32)
                 w = (i * NQ) // 32
@@ -1273,57 +1324,82 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
                         )
             return newb
 
-        # scalar-compact the surviving (leaf, quarter) pairs, then drain
-        # them in ONE dynamically-bounded loop. Alternatives measured on
-        # feline 1024^2: a fori over all NBUF*NQ pairs with pl.when inside
-        # (+4.2 ms — the scalar core drives 32 branch iterations/chunk),
-        # a static NBUF x NQ unroll (+2.4 ms — 128 predicated regions of
-        # setup per chunk). Compaction costs ~200 scalar cycles/chunk and
-        # the drain body runs exactly survivor-count times (~2-4/chunk).
-        n_liv = jnp.int32(0)
-        for k in range(NBUF * NQ):  # static scalar loop, ~6 ops each
-            bitk = jax.lax.shift_right_logical(
-                bits_ref[k // 32], k % 32) & 1
+        # scalar-compact the surviving (leaf, quarter) pairs into ONE
+        # LIST PER QUARTER, then drain each quarter's list in its own
+        # dynamically-bounded loop with a STATIC quarter index — every
+        # ray-block slice inside process_fn (d_refs[q*QR:...],
+        # best_ref[q*QR:...]) then has a static sublane offset, which
+        # Mosaic turns into plain vector loads (a dynamic q measured
+        # ~750 extra cycles per drain in the round-4 QR scan).
+        # Alternatives measured earlier: fori over all NBUF*NQ pairs
+        # with pl.when inside (+4.2 ms), static NBUF x NQ unroll
+        # (+2.4 ms). Compaction costs ~200 scalar cycles/chunk and the
+        # drain bodies run exactly survivor-count times.
+        # branchless compaction: ALWAYS store slot i at the list head —
+        # the head only advances when the bit is set, so dead stores are
+        # overwritten (48 predicated regions per chunk measured as real
+        # walk-bucket time; unconditional store + add is ~4 ops each).
+        n_liv_q = []
+        for q in range(NQ):
+            n_liv = jnp.int32(0)
+            for i in range(NBUF):  # static scalar loop
+                k = i * NQ + q
+                bitk = jax.lax.shift_right_logical(
+                    bits_ref[k // 32], k % 32) & 1
+                qlist_ref[q * NBUF + n_liv] = i
+                n_liv = n_liv + bitk
+            n_liv_q.append(n_liv)
 
-            @pl.when(bitk > 0)
-            def _(k=k, n_liv=n_liv):
-                qlist_ref[n_liv] = k
+        if _PROF:  # ablations: no compaction, no drain
+            return newb
 
-            n_liv = n_liv + bitk
+        for q in range(NQ):  # static quarter -> static ray-block slices
 
-        def drain_body(j, carry):
-            k = qlist_ref[j]
-            slot = jax.lax.shift_right_logical(k, _NQ_SHIFT)
-            q = k & (NQ - 1)
-            process_fn(slot, lq_ref[slot * 3], lq_ref[slot * 3 + 1], q)
-            if stats_ref is not None:
-                stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + 1
-                stats_ref[0, 0, 3] = (
-                    stats_ref[0, 0, 3] + lq_ref[slot * 3 + 1]
-                )
-            return carry
+            def drain_body(j, carry, q=q):
+                slot = qlist_ref[q * NBUF + j]
+                process_fn(slot, lq_ref[slot * 3], lq_ref[slot * 3 + 1], q)
+                if stats_ref is not None:
+                    stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + 1
+                    stats_ref[0, 0, 3] = (
+                        stats_ref[0, 0, 3] + lq_ref[slot * 3 + 1]
+                    )
+                return carry
 
-        if not _PROF:
-            jax.lax.fori_loop(0, n_liv, drain_body, 0)
+            jax.lax.fori_loop(0, n_liv_q[q], drain_body, 0)
 
         return newb
 
     # v2 needs a root that is an inner node (leaf children are reached
     # through their parent); single-node scenes keep the v1 walk. The
     # node count is static (tbl shape), so this is a trace-time choice.
-    use2 = pages is None and _WALK2 and tbl_ref.shape[0] > 2
-    body = walk_body2 if use2 else walk_body
-    # v2 can enqueue up to TWO leaves per pop
-    nq_cap = NBUF - 1 if use2 else NBUF
+    root_ok = itest(_box6(box_ref, 0), maxb0)
+    if _PROF == "nowalk":  # ablation: raygen/init/prologue/outputs only
+        root_ok = root_ok & (maxb0 < -1e30)
+    if use2:
+        # register-resident current node: top = -1 <=> walk exhausted
+
+        def outer_body2(carry):
+            top, sp, maxb = carry
+            top, sp, nq, _ = jax.lax.while_loop(
+                lambda c: (c[0] >= 0) & (c[2] < NBUF - 1), walk_body2,
+                (top, sp, 0, maxb)
+            )
+            return top, sp, chunk_drain(nq, maxb)
+
+        top0 = jnp.where(root_ok, 0, -1)
+        jax.lax.while_loop(
+            lambda c: (c[0] >= 0) & (c[2] > 0.0), outer_body2,
+            (top0, jnp.int32(0), maxb0)
+        )
+        return
 
     def outer_body(carry):
         sp, maxb = carry
         sp, nq, _ = jax.lax.while_loop(
-            lambda c: (c[0] > 0) & (c[1] < nq_cap), body, (sp, 0, maxb)
+            lambda c: (c[0] > 0) & (c[1] < NBUF), walk_body, (sp, 0, maxb)
         )
         return sp, chunk_drain(nq, maxb)
 
-    root_ok = itest(_box6(box_ref, 0), maxb0)
     stack_ref[0] = 0
     sp0 = root_ok.astype(jnp.int32)
     jax.lax.while_loop(
@@ -1346,7 +1422,8 @@ def _closest_ival_drain(d_refs, tscratch,
 
     def process_fn(slot, first, count, q):
         ts = tscratch.at[slot]
-        r = slice(0, RAY_SUB) if q is None else pl.ds(q * QR, QR)
+        # q is a python int (static) or None: plain static slices
+        r = slice(0, RAY_SUB) if q is None else slice(q * QR, q * QR + QR)
         d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
         for blk in range(IVAL_LEAF // 4):
             r0 = blk * 4
@@ -1391,7 +1468,8 @@ def _shadow_ival_drain(d_refs, tm_ref, limit, tscratch, blocked_ref):
 
     def process_fn(slot, first, count, q):
         ts = tscratch.at[slot]
-        r = slice(0, RAY_SUB) if q is None else pl.ds(q * QR, QR)
+        # q is a python int (static) or None: plain static slices
+        r = slice(0, RAY_SUB) if q is None else slice(q * QR, q * QR + QR)
         d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
         tmq = tm_ref[0, r, :]
         limq = jnp.where(tmq >= 0.0, tmq, -BIG)
@@ -1495,13 +1573,15 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
     tri_out[0] = tri_ref[:, :]
 
 
-def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
+def _camera_ival_kernel(tbl_hbm, box_hbm, cam_ref, boxv_hbm, tris_hbm,
                         dist_ref, u_ref, v_ref, tri_out,
                         dx_ref, dy_ref, dz_ref,
                         best_ref, bu_ref, bv_ref, tri_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                        lbox_ref, sems, nmv_ref, nms_ref, nmsem):
-    _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
+                        lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                        tbl_s, box_s, boxv_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _camera_ival_impl(tbl_s, box_s, cam_ref, boxv_s, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
@@ -1509,7 +1589,7 @@ def _camera_ival_kernel(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                       lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
 
 
-def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
+def _camera_ival_kernel_paged(tbl_hbm, box_hbm, cam_ref, boxv_hbm, tris_hbm,
                               pg_meta_hbm, pg_box_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref,
@@ -1517,8 +1597,10 @@ def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
                               pmeta_ref, pbox_ref, ptag_ref, psem,
-                              nmv_ref, nms_ref, nmsem):
-    _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
+                              nmv_ref, nms_ref, nmsem,
+                              tbl_s, box_s, boxv_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _camera_ival_impl(tbl_s, box_s, cam_ref, boxv_s, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
@@ -1528,15 +1610,17 @@ def _camera_ival_kernel_paged(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
                        ptag_ref, psem))
 
 
-def _camera_ival_kernel_stats(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
+def _camera_ival_kernel_stats(tbl_hbm, box_hbm, cam_ref, boxv_hbm, tris_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref, st_ref,
                               best_ref, bu_ref, bv_ref, tri_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
-                              nmv_ref, nms_ref, nmsem):
+                              nmv_ref, nms_ref, nmsem,
+                              tbl_s, box_s, boxv_s, ssem):
     """Counter-instrumented variant (TreeStats, tree_stats.h:36-130)."""
-    _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _camera_ival_impl(tbl_s, box_s, cam_ref, boxv_s, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
@@ -1578,27 +1662,31 @@ def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
     out_ref[0] = blocked_ref[:, :]
 
 
-def _shadow_ival_kernel(tbl_ref, box_ref, orig_ref, boxv_ref,
+def _shadow_ival_kernel(tbl_hbm, box_hbm, orig_ref, boxv_hbm,
                         dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                         out_ref, blocked_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                        lbox_ref, sems, nmv_ref, nms_ref, nmsem):
-    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
+                        lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                        tbl_s, box_s, boxv_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _shadow_ival_impl(tbl_s, box_s, orig_ref, boxv_s,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
                       lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
 
 
-def _shadow_ival_kernel_paged(tbl_ref, box_ref, orig_ref, boxv_ref,
+def _shadow_ival_kernel_paged(tbl_hbm, box_hbm, orig_ref, boxv_hbm,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               pg_meta_hbm, pg_box_hbm,
                               out_ref, blocked_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
                               pmeta_ref, pbox_ref, ptag_ref, psem,
-                              nmv_ref, nms_ref, nmsem):
-    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
+                              nmv_ref, nms_ref, nmsem,
+                              tbl_s, box_s, boxv_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _shadow_ival_impl(tbl_s, box_s, orig_ref, boxv_s,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
@@ -1607,13 +1695,15 @@ def _shadow_ival_kernel_paged(tbl_ref, box_ref, orig_ref, boxv_ref,
                        ptag_ref, psem))
 
 
-def _shadow_ival_kernel_stats(tbl_ref, box_ref, orig_ref, boxv_ref,
+def _shadow_ival_kernel_stats(tbl_hbm, box_hbm, orig_ref, boxv_hbm,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               out_ref, st_ref, blocked_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
-                              nmv_ref, nms_ref, nmsem):
-    _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
+                              nmv_ref, nms_ref, nmsem,
+                              tbl_s, box_s, boxv_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _shadow_ival_impl(tbl_s, box_s, orig_ref, boxv_s,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
@@ -1648,7 +1738,8 @@ def _closest_ival_drain_g(o_refs, d_refs, tscratch,
 
     def process_fn(slot, first, count, q):
         ts = tscratch.at[slot]
-        r = slice(0, RAY_SUB) if q is None else pl.ds(q * QR, QR)
+        # q is a python int (static) or None: plain static slices
+        r = slice(0, RAY_SUB) if q is None else slice(q * QR, q * QR + QR)
         o = (o_refs[0][r, :], o_refs[1][r, :], o_refs[2][r, :])
         d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
         for blk in range(IVAL_LEAF // 4):
@@ -1693,7 +1784,8 @@ def _shadow_ival_drain_g(o_refs, d_refs, tm_ref, limit, tscratch,
 
     def process_fn(slot, first, count, q):
         ts = tscratch.at[slot]
-        r = slice(0, RAY_SUB) if q is None else pl.ds(q * QR, QR)
+        # q is a python int (static) or None: plain static slices
+        r = slice(0, RAY_SUB) if q is None else slice(q * QR, q * QR + QR)
         o = (o_refs[0][r, :], o_refs[1][r, :], o_refs[2][r, :])
         d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
         limq = tm_ref[0, r, :]
@@ -1763,14 +1855,16 @@ def _closest_ival_impl_g(tbl_ref, box_ref, boxv_ref,
     tri_out[0] = jnp.maximum(tri_ref[:, :], 0)
 
 
-def _closest_ival_kernel_g(tbl_ref, box_ref, boxv_ref,
+def _closest_ival_kernel_g(tbl_hbm, box_hbm, boxv_hbm,
                            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                            tm_ref, tris_hbm,
                            dist_ref, u_ref, v_ref, tri_out,
                            best_ref, bu_ref, bv_ref, tri_ref,
                            tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                           lbox_ref, sems, nmv_ref, nms_ref, nmsem):
-    _closest_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                           lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                           tbl_s, box_s, boxv_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _closest_ival_impl_g(tbl_s, box_s, boxv_s,
                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                          tm_ref, tris_hbm,
                          dist_ref, u_ref, v_ref, tri_out,
@@ -1779,7 +1873,7 @@ def _closest_ival_kernel_g(tbl_ref, box_ref, boxv_ref,
                          lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
 
 
-def _closest_ival_kernel_g_paged(tbl_ref, box_ref, boxv_ref,
+def _closest_ival_kernel_g_paged(tbl_hbm, box_hbm, boxv_hbm,
                                  ox_ref, oy_ref, oz_ref,
                                  dx_ref, dy_ref, dz_ref,
                                  tm_ref, tris_hbm, pg_meta_hbm, pg_box_hbm,
@@ -1788,8 +1882,10 @@ def _closest_ival_kernel_g_paged(tbl_ref, box_ref, boxv_ref,
                                  tscratch, stack_ref, lq_ref, bits_ref,
                                  qlist_ref, lbox_ref, sems,
                                  pmeta_ref, pbox_ref, ptag_ref, psem,
-                                 nmv_ref, nms_ref, nmsem):
-    _closest_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                                 nmv_ref, nms_ref, nmsem,
+                                 tbl_s, box_s, boxv_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _closest_ival_impl_g(tbl_s, box_s, boxv_s,
                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                          tm_ref, tris_hbm,
                          dist_ref, u_ref, v_ref, tri_out,
@@ -1835,13 +1931,15 @@ def _shadow_ival_impl_g(tbl_ref, box_ref, boxv_ref,
     out_ref[0] = blocked_ref[:, :]
 
 
-def _shadow_ival_kernel_g(tbl_ref, box_ref, boxv_ref,
+def _shadow_ival_kernel_g(tbl_hbm, box_hbm, boxv_hbm,
                           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                           tm_ref, tris_hbm,
                           out_ref, blocked_ref,
                           tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                          lbox_ref, sems, nmv_ref, nms_ref, nmsem):
-    _shadow_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                          lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                          tbl_s, box_s, boxv_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _shadow_ival_impl_g(tbl_s, box_s, boxv_s,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tm_ref, tris_hbm,
                         out_ref, blocked_ref,
@@ -1849,7 +1947,7 @@ def _shadow_ival_kernel_g(tbl_ref, box_ref, boxv_ref,
                         lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
 
 
-def _shadow_ival_kernel_g_paged(tbl_ref, box_ref, boxv_ref,
+def _shadow_ival_kernel_g_paged(tbl_hbm, box_hbm, boxv_hbm,
                                 ox_ref, oy_ref, oz_ref,
                                 dx_ref, dy_ref, dz_ref,
                                 tm_ref, tris_hbm, pg_meta_hbm, pg_box_hbm,
@@ -1857,8 +1955,10 @@ def _shadow_ival_kernel_g_paged(tbl_ref, box_ref, boxv_ref,
                                 tscratch, stack_ref, lq_ref, bits_ref,
                                 qlist_ref, lbox_ref, sems,
                                 pmeta_ref, pbox_ref, ptag_ref, psem,
-                                nmv_ref, nms_ref, nmsem):
-    _shadow_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+                                nmv_ref, nms_ref, nmsem,
+                                tbl_s, box_s, boxv_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
+    _shadow_ival_impl_g(tbl_s, box_s, boxv_s,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tm_ref, tris_hbm,
                         out_ref, blocked_ref,
@@ -1866,6 +1966,17 @@ def _shadow_ival_kernel_g_paged(tbl_ref, box_ref, boxv_ref,
                         lbox_ref, sems, nmv_ref, nms_ref, nmsem,
                         (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
                          ptag_ref, psem))
+
+
+def _stage_scratches(meta, box, boxv):
+    """Persistent staged-table scratches (appended LAST so kernels take
+    them after every other scratch ref)."""
+    return [
+        pltpu.SMEM((meta.size,), jnp.int32),
+        pltpu.SMEM((box.size,), jnp.float32),
+        pltpu.VMEM(boxv.shape, jnp.float32),
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
 
 
 def _ival_scratches(extra_vec: int, page_shapes=None, nv=1):
@@ -1903,8 +2014,7 @@ def _run_camera_ival(meta, box, cam, tris, p):
     return pl.pallas_call(
         _camera_ival_kernel,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk()] * 7,
         out_shape=(
             [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
@@ -1915,6 +2025,7 @@ def _run_camera_ival(meta, box, cam, tris, p):
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
             + _ival_scratches(0, nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, cam, boxv, tris)
@@ -1927,8 +2038,7 @@ def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
     return pl.pallas_call(
         _shadow_ival_kernel,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 4
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=_blk(),
@@ -1936,6 +2046,7 @@ def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(0, nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, orig, boxv, dx, dy, dz, tm, tris)
@@ -1947,7 +2058,7 @@ def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
     return pl.pallas_call(
         _camera_ival_kernel_paged,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         out_specs=[_blk()] * 7,
         out_shape=(
@@ -1960,6 +2071,7 @@ def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
             + _ival_scratches(
                 0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, cam, boxv, tris, pg_meta, pg_box)
@@ -1973,7 +2085,7 @@ def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
     return pl.pallas_call(
         _shadow_ival_kernel_paged,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 4
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         out_specs=_blk(),
@@ -1982,6 +2094,7 @@ def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(
                 0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, orig, boxv, dx, dy, dz, tm, tris, pg_meta, pg_box)
@@ -1998,8 +2111,7 @@ def _run_camera_ival_stats(meta, box, cam, tris, p):
     return pl.pallas_call(
         _camera_ival_kernel_stats,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk()] * 7 + [_stats_spec()],
         out_shape=(
             [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
@@ -2011,6 +2123,7 @@ def _run_camera_ival_stats(meta, box, cam, tris, p):
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
             + _ival_scratches(0, nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, cam, boxv, tris)
@@ -2023,8 +2136,7 @@ def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
     return pl.pallas_call(
         _shadow_ival_kernel_stats,
         grid=(p,),
-        in_specs=[_smem(), _smem(), _smem(),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 4
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk(), _stats_spec()],
@@ -2035,6 +2147,7 @@ def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(0, nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, orig, boxv, dx, dy, dz, tm, tris)
@@ -2047,8 +2160,7 @@ def _run_closest_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
     return pl.pallas_call(
         _closest_ival_kernel_g,
         grid=(p,),
-        in_specs=[_smem(), _smem(),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 7
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[_blk()] * 4,
@@ -2060,6 +2172,7 @@ def _run_closest_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
             + _ival_scratches(0, nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris)
@@ -2073,8 +2186,7 @@ def _run_closest_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
     return pl.pallas_call(
         _closest_ival_kernel_g_paged,
         grid=(p,),
-        in_specs=[_smem(), _smem(),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 7
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         out_specs=[_blk()] * 4,
@@ -2087,6 +2199,7 @@ def _run_closest_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
             + _ival_scratches(
                 0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris, pg_meta, pg_box)
@@ -2099,8 +2212,7 @@ def _run_shadow_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
     return pl.pallas_call(
         _shadow_ival_kernel_g,
         grid=(p,),
-        in_specs=[_smem(), _smem(),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 7
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=_blk(),
@@ -2108,6 +2220,7 @@ def _run_shadow_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(0, nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris)
@@ -2121,8 +2234,7 @@ def _run_shadow_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
     return pl.pallas_call(
         _shadow_ival_kernel_g_paged,
         grid=(p,),
-        in_specs=[_smem(), _smem(),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 7
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
         out_specs=_blk(),
@@ -2131,6 +2243,7 @@ def _run_shadow_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(
                 0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
+            + _stage_scratches(meta, box, boxv)
         ),
         interpret=_interpret(),
     )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris, pg_meta, pg_box)

@@ -186,7 +186,8 @@ def pack_scene_arrays(bvh, geom_padded):
         axis=1,
     ).reshape(-1)
 
-    return meta, box, _pack_tri_rows(geom_padded)
+    mk_boxv, mk_off = build_mask_boxv(box)
+    return meta, box, _pack_tri_rows(geom_padded), mk_boxv, mk_off
 
 
 def _pack_tri_rows(geom_padded):
@@ -221,12 +222,67 @@ def pack_scene_arrays_paged(bvh, geom_padded):
             f"top tree {layout.n_top} nodes > SMEM cap {SMEM_NODE_CAP}"
         )
     pm, pb = page_kernel_layout(layout.pg_meta, layout.pg_box)
+    mk_boxv, mk_off = build_mask_boxv(layout.top_box, pb,
+                                      layout.page_cap)
     return (layout.top_meta, layout.top_box, _pack_tri_rows(geom_padded),
-            pm, pb)
+            pm, pb, mk_boxv, mk_off, layout.page_cap)
 
 
 def _next_pow2(x: int) -> int:
     return 1 << (int(x) - 1).bit_length()
+
+
+MASK_CAP = None  # set below (bvh.pages.PAGE_CAP); page p local node n has
+# mask index MK_OFF + p * PAGE_CAP + n in the flat mask node space
+
+
+def build_mask_boxv(bvh_box6, pg_box=None, page_cap=None):
+    """Host-side planar node boxes for the XLA mask pass.
+
+    Returns (mk_boxv f32[6, NV, 8, 128], page_off int): node (mask index)
+    i lives at [:, i>>10, (i>>7)&7, i&127]. Top-tree nodes come first
+    (index == node id); page-local nodes follow at
+    page_off + p*page_cap + n (page_off = top count rounded to 1024 so
+    pages start on a block boundary).
+
+    ``bvh_box6``: flat f32[6*Ntop] (lo.xyz|hi.xyz per node);
+    ``pg_box``:   optional kernel-layout page boxes (NP, 8, L8)."""
+    top = np.asarray(bvh_box6, np.float32).reshape(-1, 6)
+    nt = len(top)
+    page_off = -(-nt // 1024) * 1024
+    if pg_box is None:
+        total = page_off if nt else 1024
+        flat = np.zeros((total, 6), np.float32)
+        flat[:nt] = top
+        # nodes past the real count must never pass the interval test
+        flat[nt:, 0:3] = 1e30
+        flat[nt:, 3:6] = -1e30
+    else:
+        pg = np.asarray(pg_box, np.float32)
+        np_pages = pg.shape[0]
+        pgflat = pg.reshape(np_pages, -1)[:, : 6 * page_cap]
+        pgflat = pgflat.reshape(np_pages, page_cap, 6)
+        total = page_off + -(-np_pages * page_cap // 1024) * 1024
+        flat = np.zeros((total, 6), np.float32)
+        flat[:nt] = top
+        flat[nt:page_off, 0:3] = 1e30
+        flat[nt:page_off, 3:6] = -1e30
+        flat[page_off : page_off + np_pages * page_cap] = pgflat.reshape(
+            -1, 6)
+        # page padding slots have zero boxes -> degenerate at origin;
+        # they are never visited (page-local walks stay inside the real
+        # subtree), so a spurious pass bit is harmless, but make them
+        # never-pass anyway for cleanliness
+        used = np.zeros(total, bool)
+        used[:nt] = True
+        for p in range(np_pages):
+            used[page_off + p * page_cap : page_off + (p + 1) * page_cap] \
+                = True
+        flat[~used, 0:3] = 1e30
+        flat[~used, 3:6] = -1e30
+    nv = total // 1024
+    mk = flat.T.reshape(6, nv, 8, 128)
+    return np.ascontiguousarray(mk), page_off
 
 
 def page_kernel_layout(pg_meta, pg_box):
@@ -793,116 +849,175 @@ def _ival_test_vals_g(box6, bnds, maxb):
     return (tn <= tf) & (tf > 0.0)
 
 
-# --- dense node-mask pre-pass ---------------------------------------------
-# The scalar interval test (~45 scalar ops) ran TWICE per node visit and
-# dominated the walk (counters: ~90k pops/frame on feline 1024^2, walk =
-# 61% of kernel time). Both hot kernels are shared-origin, so the test
-# depends only on per-PACKET scalars (origin, idir interval, bound) — it
-# can be evaluated for ALL nodes at once on the VPU as dense math (the
-# node boxes are a dense array; no gather), bit-packed, and handed to the
-# scalar walk as an SMEM word table: one visit then costs two ~6-op bit
-# reads instead of two ~45-op tests. The walk keeps near-first ordering
-# and the evolving packet bound keeps pruning leaves in the per-chunk
-# vector culls; only the node-level distance pruning is lost (measured
-# negligible: the mask still prunes laterally, which is where the 76%
-# leaf kill rate came from).
+# --- node-mask pre-pass (XLA-side; see compute_masks above) ----------------
 
 _NMASK = os.environ.get("SNAIL_NMASK", "1") != "0"
 
 
-def _boxv_of(box):
-    """Dense (6, NV, 8, 128) component-planar node boxes for the in-kernel
-    mask prologue; node n lives at [:, n>>10, (n>>7)&7, n&127]. Derived
-    from the SMEM box table per call (one transpose, ~0.1 ms/frame)."""
-    if not _NMASK:
-        return jnp.zeros((6, 1, 8, 128), jnp.float32)
-    n = box.shape[0] // 6
-    nv = -(-n // 1024)
-    b = box.reshape(n, 6).T
-    b = jnp.pad(b, ((0, 0), (0, nv * 1024 - n)))
-    return b.reshape(6, nv, 8, 128)
+def _mask_L(nv: int) -> int:
+    """Lane dim of the per-packet mask rows: nv*32 words as (8, L)."""
+    return max(128, _next_pow2(-(-nv * 32 // 8)))
 
 
-def _mask_prologue(boxv_ref, o, bnds, maxb0, nmv_ref, nms_ref, nmsem):
-    """In-kernel dense node pre-test: interval-test ALL nodes on the VPU
-    (the per-packet test depends only on shared-origin scalars), pack one
-    bit per node (sublane = bit, lane = word) and DMA the word table into
-    SMEM, where the walk reads a bit (~6 scalar ops) instead of running
-    the ~45-op scalar interval test twice per visit."""
-    nv = boxv_ref.shape[1]
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_LANE), 0)
-    for a in range(nv):
-        tn = jnp.zeros((8, RAY_LANE), jnp.float32)
-        tf = jnp.zeros((8, RAY_LANE), jnp.float32) + maxb0
+def compute_masks(mk_boxv, im, iM, om, oM, maxb0):
+    """Dense per-(packet, node) conservative interval test on the VPU —
+    the node-mask pre-pass moved OUT of the kernels into one XLA pass
+    per wavefront. mk_boxv f32[6, NV, 8, 128] (build_mask_boxv; includes
+    page-local nodes for paged scenes), per-packet interval bounds
+    im/iM/om/oM f32[P, 3] and bound maxb0 f32[P].
+
+    Returns i32[P, 8, L] word rows, one DMA-able row set per packet:
+    node (mask index) i -> flat word (i>>10)*32 + ((i>>2)&31), bit
+    ((i&3)<<3) | ((i>>7)&7). 32 node bits per word.
+
+    The scalar walk previously ran this test twice per node pop (~45
+    scalar ops each, SMEM-latency-bound); the paged walk ran it for
+    every page-local node with no mask at all (457 ms/frame on the
+    1 Mtri terrain). Here it is dense contiguous VPU math at full
+    throughput."""
+    nv = mk_boxv.shape[1]
+    l = _mask_L(nv)
+
+    def one(args):
+        imp, iMp, omp, oMp, mb = args
+        tn = jnp.zeros((nv, 8, 128), jnp.float32)
+        tf = jnp.full((nv, 8, 128), mb, jnp.float32)
         for k in range(3):
-            im, iM, span = bnds[k]
-            lo = boxv_ref[k, a] - o[k]
-            hi = boxv_ref[3 + k, a] - o[k]
-            p1 = lo * im
-            p2 = lo * iM
-            p3 = hi * im
-            p4 = hi * iM
-            tnk = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
-            tfk = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
-            tn = jnp.maximum(tn, jnp.where(span, -BIG, tnk))
-            tf = jnp.minimum(tf, jnp.where(span, BIG, tfk))
-        ok = ((tn <= tf) & (tf > 0.0)).astype(jnp.int32)
-        w = jnp.left_shift(ok, sub)
-        w = w | pltpu.roll(w, 4, 0)
-        w = w | pltpu.roll(w, 2, 0)
-        w = w | pltpu.roll(w, 1, 0)
-        nmv_ref[a:a + 1, :] = w[0:1, :]
-    cp = pltpu.make_async_copy(nmv_ref, nms_ref, nmsem)
-    cp.start()
-    cp.wait()
-
-
-def _mask_prologue_g(boxv_ref, bnds, maxb0, nmv_ref, nms_ref, nmsem):
-    """Dense node pre-test for PER-RAY-ORIGIN packets: the 8-corner
-    product interval test (_ival_test_vals_g) evaluated for ALL nodes on
-    the VPU and bit-packed exactly like _mask_prologue. The bounds are
-    still per-packet scalars (origin interval + idir interval), so the
-    dense form applies unchanged."""
-    nv = boxv_ref.shape[1]
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, RAY_LANE), 0)
-    for a in range(nv):
-        tn = jnp.zeros((8, RAY_LANE), jnp.float32)
-        tf = jnp.zeros((8, RAY_LANE), jnp.float32) + maxb0
-        for k in range(3):
-            im, iM, om, oM = bnds[k]
-            a1 = boxv_ref[k, a] - om
-            a2 = boxv_ref[k, a] - oM
-            c1 = boxv_ref[3 + k, a] - om
-            c2 = boxv_ref[3 + k, a] - oM
-            lo_min = jnp.minimum(jnp.minimum(a1 * im, a1 * iM),
-                                 jnp.minimum(a2 * im, a2 * iM))
-            lo_max = jnp.maximum(jnp.maximum(a1 * im, a1 * iM),
-                                 jnp.maximum(a2 * im, a2 * iM))
-            hi_min = jnp.minimum(jnp.minimum(c1 * im, c1 * iM),
-                                 jnp.minimum(c2 * im, c2 * iM))
-            hi_max = jnp.maximum(jnp.maximum(c1 * im, c1 * iM),
-                                 jnp.maximum(c2 * im, c2 * iM))
+            a1 = mk_boxv[k] - omp[k]
+            a2 = mk_boxv[k] - oMp[k]
+            c1 = mk_boxv[3 + k] - omp[k]
+            c2 = mk_boxv[3 + k] - oMp[k]
+            lo_min = jnp.minimum(jnp.minimum(a1 * imp[k], a1 * iMp[k]),
+                                 jnp.minimum(a2 * imp[k], a2 * iMp[k]))
+            lo_max = jnp.maximum(jnp.maximum(a1 * imp[k], a1 * iMp[k]),
+                                 jnp.maximum(a2 * imp[k], a2 * iMp[k]))
+            hi_min = jnp.minimum(jnp.minimum(c1 * imp[k], c1 * iMp[k]),
+                                 jnp.minimum(c2 * imp[k], c2 * iMp[k]))
+            hi_max = jnp.maximum(jnp.maximum(c1 * imp[k], c1 * iMp[k]),
+                                 jnp.maximum(c2 * imp[k], c2 * iMp[k]))
             tn = jnp.maximum(tn, jnp.minimum(lo_min, hi_min))
             tf = jnp.minimum(tf, jnp.maximum(lo_max, hi_max))
         ok = ((tn <= tf) & (tf > 0.0)).astype(jnp.int32)
-        w = jnp.left_shift(ok, sub)
-        w = w | pltpu.roll(w, 4, 0)
-        w = w | pltpu.roll(w, 2, 0)
-        w = w | pltpu.roll(w, 1, 0)
-        nmv_ref[a:a + 1, :] = w[0:1, :]
-    cp = pltpu.make_async_copy(nmv_ref, nms_ref, nmsem)
-    cp.start()
-    cp.wait()
+        w1 = ok[:, 0, :]
+        for sb in range(1, 8):
+            w1 = w1 | jnp.left_shift(ok[:, sb, :], sb)
+        w1 = w1.reshape(nv, 32, 4)
+        w2 = (w1[:, :, 0] | jnp.left_shift(w1[:, :, 1], 8)
+              | jnp.left_shift(w1[:, :, 2], 16)
+              | jnp.left_shift(w1[:, :, 3], 24))
+        return w2.reshape(-1)
+
+    words = jax.lax.map(one, (im, iM, om, oM, maxb0), batch_size=32)
+    words = jnp.pad(words, ((0, 0), (0, 8 * l - words.shape[1])))
+    return words.reshape(im.shape[0], 8, l)
+
+
+def _interval_of(v, axis):
+    """Conservatively widened per-packet min/max (guards the f32
+    reassociation delta between the XLA bound computation and the
+    kernel's own per-ray math)."""
+    lo = jnp.min(v, axis=axis)
+    hi = jnp.max(v, axis=axis)
+    w = 1e-5
+    return (lo - jnp.abs(lo) * w - 1e-12, hi + jnp.abs(hi) * w + 1e-12)
+
+
+def _dir_bounds(dx, dy, dz):
+    """(P, R) planar dir components -> per-packet idir bounds (P, 3)."""
+    ims, iMs = [], []
+    for c in (dx, dy, dz):
+        ic = 1.0 / (c + 1e-8)
+        lo, hi = _interval_of(ic, 1)
+        ims.append(lo)
+        iMs.append(hi)
+    return jnp.stack(ims, -1), jnp.stack(iMs, -1)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _camera_mask_words(mk_boxv, camera, width: int, height: int,
+                       root_lo, root_hi):
+    """Per-packet masks for the camera kernel: replicate the in-kernel
+    raygen + t_exit bound in XLA (same formulas; intervals widened)."""
+    tiles_x = width // TILE
+    p = tiles_x * (height // TILE)
+    pid = jnp.arange(p, dtype=jnp.int32)
+    k = jnp.arange(TILE * TILE, dtype=jnp.int32)
+    # any within-packet order works for bounds; raster is simplest
+    px = ((pid % tiles_x)[:, None] * TILE + (k % TILE)[None, :]).astype(
+        jnp.float32)
+    py = ((pid // tiles_x)[:, None] * TILE + (k // TILE)[None, :]).astype(
+        jnp.float32)
+    x = (px + 0.5 - width * 0.5) * jnp.float32(1.0 / height)
+    y = (height * 0.5 - py - 0.5) * jnp.float32(1.0 / height)
+    f = camera.front * camera.plane_dist
+    dx = camera.right[0] * x + camera.up[0] * y + f[0]
+    dy = camera.right[1] * x + camera.up[1] * y + f[1]
+    dz = camera.right[2] * x + camera.up[2] * y + f[2]
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+    im, iM = _dir_bounds(dx, dy, dz)
+    o = camera.pos.astype(jnp.float32)
+    om = jnp.broadcast_to(o, (p, 3))
+    # t_exit cap per packet (mirrors the in-kernel root-exit bound)
+    tns, tfs = [], []
+    for ci, c in enumerate((dx, dy, dz)):
+        ic = 1.0 / (c + 1e-8)
+        t1 = (root_lo[ci] - o[ci]) * ic
+        t2 = (root_hi[ci] - o[ci]) * ic
+        tns.append(jnp.minimum(t1, t2))
+        tfs.append(jnp.maximum(t1, t2))
+    tn = jnp.maximum(jnp.maximum(tns[0], tns[1]), tns[2])
+    tf = jnp.minimum(jnp.minimum(tfs[0], tfs[1]), tfs[2])
+    t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
+    maxb0 = jnp.max(t_exit, axis=1) * 1.0002 + 1e-6
+    return compute_masks(mk_boxv, im, iM, om, om, maxb0)
+
+
+@jax.jit
+def _shared_mask_words(mk_boxv, origin, dx, dy, dz, tm):
+    """Per-packet masks for the shared-origin any-hit kernel: packed
+    (P, RAY_SUB, RAY_LANE) dirs + tmax; origin f32[>=3]."""
+    p = dx.shape[0]
+    dxf = dx.reshape(p, -1)
+    dyf = dy.reshape(p, -1)
+    dzf = dz.reshape(p, -1)
+    im, iM = _dir_bounds(dxf, dyf, dzf)
+    om = jnp.broadcast_to(origin[:3].astype(jnp.float32), (p, 3))
+    limit = jnp.where(tm.reshape(p, -1) >= 0.0, tm.reshape(p, -1), -BIG)
+    maxb0 = jnp.max(limit, axis=1) * 1.0002 + 1e-6
+    return compute_masks(mk_boxv, im, iM, om, om, maxb0)
+
+
+@jax.jit
+def _general_mask_words(mk_boxv, ox, oy, oz, dx, dy, dz, tm):
+    """Per-packet masks for the general kernels: per-ray origins AND
+    directions (the full RayInterval, ray_group.h:293-338)."""
+    p = dx.shape[0]
+    im, iM = _dir_bounds(dx.reshape(p, -1), dy.reshape(p, -1),
+                         dz.reshape(p, -1))
+    oms, oMs = [], []
+    for c in (ox, oy, oz):
+        lo, hi = _interval_of(c.reshape(p, -1), 1)
+        oms.append(lo)
+        oMs.append(hi)
+    om = jnp.stack(oms, -1)
+    oM = jnp.stack(oMs, -1)
+    tmf = tm.reshape(p, -1)
+    best0 = jnp.where(tmf >= 0.0, jnp.minimum(tmf, BIG), -BIG)
+    maxb0 = jnp.max(best0, axis=1) * 1.0002 + 1e-6
+    return compute_masks(mk_boxv, im, iM, om, oM, maxb0)
 
 
 def _nm_bit(nm_ref, n):
-    """Scalar read of node n's pre-test bit from the SMEM word table."""
-    w = nm_ref[jax.lax.shift_right_logical(n, 10), n & 127]
-    return (
-        jax.lax.shift_right_logical(
-            w, jax.lax.shift_right_logical(n, 7) & 7
-        ) & 1
-    ) > 0
+    """Scalar read of node n's pre-test bit from the per-packet mask
+    rows ((8, L) SMEM, compute_masks packing: 32 node bits/word)."""
+    l = nm_ref.shape[1]
+    sh = l.bit_length() - 1
+    f = (jax.lax.shift_right_logical(n, 10) * 32
+         + (jax.lax.shift_right_logical(n, 2) & 31))
+    w = nm_ref[jax.lax.shift_right_logical(f, sh), f & (l - 1)]
+    bit = jnp.left_shift(n & 3, 3) | (jax.lax.shift_right_logical(n, 7) & 7)
+    return (jax.lax.shift_right_logical(w, bit) & 1) > 0
 
 
 def _ival_test(box_ref, node, o, bnds, maxb):
@@ -917,7 +1032,7 @@ def _leaf_dma(tris_hbm, tscratch, sems, slot, first):
     )
 
 
-def _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem):
+def _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem):
     """Fill the persistent node-table scratches ONCE, at grid step 0.
 
     SMEM-space pallas INPUTS are re-staged from HBM on every grid step,
@@ -930,13 +1045,19 @@ def _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem):
     def _():
         c1 = pltpu.make_async_copy(tbl_hbm, tbl_s, ssem.at[0])
         c2 = pltpu.make_async_copy(box_hbm, box_s, ssem.at[1])
-        c3 = pltpu.make_async_copy(boxv_hbm, boxv_s, ssem.at[2])
         c1.start()
         c2.start()
-        c3.start()
         c1.wait()
         c2.wait()
-        c3.wait()
+
+
+def _load_mask(masks_hbm, mask_s, ssem):
+    """DMA this packet's node-mask rows (compute_masks output) into
+    SMEM. A few KB per packet; replaces the in-kernel dense prologue."""
+    cp = pltpu.make_async_copy(masks_hbm.at[pl.program_id(0)], mask_s,
+                               ssem.at[2])
+    cp.start()
+    cp.wait()
 
 
 def _or_across_rays(acc):
@@ -1012,7 +1133,8 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
     """
     sx, sy, sz = signs
     if pages is not None:
-        pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, ptag_ref, psem = pages
+        (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref, ptag_ref, psem,
+         mk_off, mk_cap) = pages
 
         # the page cache PERSISTS across grid steps (scratch is carried
         # between sequential packets on the core) — adjacent packets
@@ -1023,6 +1145,7 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
             for i in range(PG_SLOTS):
                 ptag_ref[i] = -1
             ptag_ref[PG_SLOTS] = 0
+            ptag_ref[PG_SLOTS + 1] = mk_off
     if stats_ref is not None:
         for i in range(8):
             stats_ref[0, 0, i] = 0
@@ -1189,18 +1312,12 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
                 pf = _nm_bit(nm_ref, far)
                 pn = _nm_bit(nm_ref, near)
             else:
-                # mask covers the SMEM top table only; page-local nodes
-                # (transient, paged over) keep the scalar test
-                pf = jax.lax.cond(
-                    in_pg,
-                    lambda: itest(_pg_box6(pbox_ref, cur8, far), maxb),
-                    lambda: _nm_bit(nm_ref, far),
-                )
-                pn = jax.lax.cond(
-                    in_pg,
-                    lambda: itest(_pg_box6(pbox_ref, cur8, near), maxb),
-                    lambda: _nm_bit(nm_ref, near),
-                )
+                # the XLA mask pass covers page-local nodes too (their
+                # mask index = mk_off + page*mk_cap + local id, tracked
+                # per cached slot in ptag_ref[PG_SLOTS + 1])
+                base = jnp.where(in_pg, ptag_ref[PG_SLOTS + 1], 0)
+                pf = _nm_bit(nm_ref, base + far)
+                pn = _nm_bit(nm_ref, base + near)
             if pages is not None:
                 base = jnp.where(in_pg, PAGE_BASE, 0)
                 near = base + near
@@ -1238,6 +1355,7 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
                     stats_ref[0, 0, 5] = stats_ref[0, 0, 5] + 1
 
             ptag_ref[PG_SLOTS] = slot
+            ptag_ref[PG_SLOTS + 1] = mk_off + child * mk_cap
             stack_ref[sp] = PAGE_BASE
             if stats_ref is not None:
                 stats_ref[0, 0, 6] = stats_ref[0, 0, 6] + 1
@@ -1415,7 +1533,12 @@ def _closest_ival_drain(d_refs, tscratch,
     happens batched inside _traverse_ival via lim_fn; process_fn runs
     only for (leaf, quarter) pairs that survive it, on that quarter's
     (QR, 128) rows alone. ``d_refs`` are (RAY_SUB, 128) refs of the ray
-    dirs (values can't be row-sliced dynamically; refs can)."""
+    dirs (values can't be row-sliced dynamically; refs can). The staged
+    rows are shared_rows output (origin terms folded per frame) — a
+    raw-triangle drain with the origin as broadcast scalars was tried
+    in round 4 and measured ~+12 ms/frame (the ~20 extra small-vector
+    ops per 4-tri block cost ~3x their op count in dependency stalls),
+    while shared_rows itself is <0.5 ms inside the frame jit."""
 
     def lim_fn():
         return best_ref[:, :]
@@ -1493,12 +1616,12 @@ def _shadow_ival_drain(d_refs, tm_ref, limit, tscratch, blocked_ref):
     return lim_fn, process_fn
 
 
-def _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
+def _camera_ival_impl(tbl_ref, box_ref, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                      lbox_ref, sems, nm_ref,
                       stats_ref, pages=None):
     """Primary rays: camera-fused raygen + decoupled interval traversal.
 
@@ -1554,11 +1677,6 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
 
     maxb0 = jnp.max(t_exit)
-    if _NMASK:
-        _mask_prologue(boxv_ref, o, bnds, maxb0, nmv_ref, nms_ref, nmsem)
-        nm_ref = nms_ref
-    else:  # A/B: fall back to in-walk scalar interval tests
-        nm_ref = None
     lim_fn, process_fn = _closest_ival_drain(
         d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
     itest = lambda box6, maxb: _ival_test_vals(box6, o, bnds, maxb)
@@ -1573,66 +1691,75 @@ def _camera_ival_impl(tbl_ref, box_ref, cam_ref, boxv_ref, tris_hbm,
     tri_out[0] = tri_ref[:, :]
 
 
-def _camera_ival_kernel(tbl_hbm, box_hbm, cam_ref, boxv_hbm, tris_hbm,
+def _camera_ival_kernel(tbl_hbm, box_hbm, cam_ref, masks_hbm, tris_hbm,
                         dist_ref, u_ref, v_ref, tri_out,
                         dx_ref, dy_ref, dz_ref,
                         best_ref, bu_ref, bv_ref, tri_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                        lbox_ref, sems, nmv_ref, nms_ref, nmsem,
-                        tbl_s, box_s, boxv_s, ssem):
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _camera_ival_impl(tbl_s, box_s, cam_ref, boxv_s, tris_hbm,
+                        lbox_ref, sems,
+                        tbl_s, box_s, mask_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _camera_ival_impl(tbl_s, box_s, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
+                      lbox_ref, sems, nm, None)
 
 
-def _camera_ival_kernel_paged(tbl_hbm, box_hbm, cam_ref, boxv_hbm, tris_hbm,
-                              pg_meta_hbm, pg_box_hbm,
+def _camera_ival_kernel_paged(tbl_hbm, box_hbm, cam_ref, masks_hbm,
+                              tris_hbm, pg_meta_hbm, pg_box_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref,
                               best_ref, bu_ref, bv_ref, tri_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
                               pmeta_ref, pbox_ref, ptag_ref, psem,
-                              nmv_ref, nms_ref, nmsem,
-                              tbl_s, box_s, boxv_s, ssem):
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _camera_ival_impl(tbl_s, box_s, cam_ref, boxv_s, tris_hbm,
+                              tbl_s, box_s, mask_s, ssem,
+                              *, mk_off, mk_cap):
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _camera_ival_impl(tbl_s, box_s, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, None,
+                      lbox_ref, sems, nm, None,
                       (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
-                       ptag_ref, psem))
+                       ptag_ref, psem, mk_off, mk_cap))
 
 
-def _camera_ival_kernel_stats(tbl_hbm, box_hbm, cam_ref, boxv_hbm, tris_hbm,
+def _camera_ival_kernel_stats(tbl_hbm, box_hbm, cam_ref, masks_hbm,
+                              tris_hbm,
                               dist_ref, u_ref, v_ref, tri_out,
                               dx_ref, dy_ref, dz_ref, st_ref,
                               best_ref, bu_ref, bv_ref, tri_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
-                              nmv_ref, nms_ref, nmsem,
-                              tbl_s, box_s, boxv_s, ssem):
+                              tbl_s, box_s, mask_s, ssem):
     """Counter-instrumented variant (TreeStats, tree_stats.h:36-130)."""
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _camera_ival_impl(tbl_s, box_s, cam_ref, boxv_s, tris_hbm,
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _camera_ival_impl(tbl_s, box_s, cam_ref, tris_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
                       dx_ref, dy_ref, dz_ref,
                       best_ref, bu_ref, bv_ref, tri_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, st_ref)
+                      lbox_ref, sems, nm, st_ref)
 
 
-def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
+def _shadow_ival_impl(tbl_ref, box_ref, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                      lbox_ref, sems, nm_ref,
                       stats_ref, pages=None):
     """Shadow any-hit from the shared light origin, interval traversal."""
     o = (orig_ref[0], orig_ref[1], orig_ref[2])
@@ -1645,12 +1772,6 @@ def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
     blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
     limit = jnp.where(active, tmax, -BIG)
     maxb0 = jnp.max(limit)
-
-    if _NMASK:
-        _mask_prologue(boxv_ref, o, bnds, maxb0, nmv_ref, nms_ref, nmsem)
-        nm_ref = nms_ref
-    else:  # A/B: fall back to in-walk scalar interval tests
-        nm_ref = None
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
     lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
                                             tscratch, blocked_ref)
@@ -1662,52 +1783,60 @@ def _shadow_ival_impl(tbl_ref, box_ref, orig_ref, boxv_ref,
     out_ref[0] = blocked_ref[:, :]
 
 
-def _shadow_ival_kernel(tbl_hbm, box_hbm, orig_ref, boxv_hbm,
+def _shadow_ival_kernel(tbl_hbm, box_hbm, orig_ref, masks_hbm,
                         dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                         out_ref, blocked_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                        lbox_ref, sems, nmv_ref, nms_ref, nmsem,
-                        tbl_s, box_s, boxv_s, ssem):
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _shadow_ival_impl(tbl_s, box_s, orig_ref, boxv_s,
+                        lbox_ref, sems,
+                        tbl_s, box_s, mask_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _shadow_ival_impl(tbl_s, box_s, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
+                      lbox_ref, sems, nm, None)
 
 
-def _shadow_ival_kernel_paged(tbl_hbm, box_hbm, orig_ref, boxv_hbm,
+def _shadow_ival_kernel_paged(tbl_hbm, box_hbm, orig_ref, masks_hbm,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               pg_meta_hbm, pg_box_hbm,
                               out_ref, blocked_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
                               pmeta_ref, pbox_ref, ptag_ref, psem,
-                              nmv_ref, nms_ref, nmsem,
-                              tbl_s, box_s, boxv_s, ssem):
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _shadow_ival_impl(tbl_s, box_s, orig_ref, boxv_s,
+                              tbl_s, box_s, mask_s, ssem,
+                              *, mk_off, mk_cap):
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _shadow_ival_impl(tbl_s, box_s, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, None,
+                      lbox_ref, sems, nm, None,
                       (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
-                       ptag_ref, psem))
+                       ptag_ref, psem, mk_off, mk_cap))
 
 
-def _shadow_ival_kernel_stats(tbl_hbm, box_hbm, orig_ref, boxv_hbm,
+def _shadow_ival_kernel_stats(tbl_hbm, box_hbm, orig_ref, masks_hbm,
                               dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                               out_ref, st_ref, blocked_ref,
                               tscratch, stack_ref, lq_ref, bits_ref,
                               qlist_ref, lbox_ref, sems,
-                              nmv_ref, nms_ref, nmsem,
-                              tbl_s, box_s, boxv_s, ssem):
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _shadow_ival_impl(tbl_s, box_s, orig_ref, boxv_s,
+                              tbl_s, box_s, mask_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _shadow_ival_impl(tbl_s, box_s, orig_ref,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
                       out_ref, blocked_ref,
                       tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                      lbox_ref, sems, nmv_ref, nms_ref, nmsem, st_ref)
+                      lbox_ref, sems, nm, st_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -1810,13 +1939,13 @@ def _shadow_ival_drain_g(o_refs, d_refs, tm_ref, limit, tscratch,
     return lim_fn, process_fn
 
 
-def _closest_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+def _closest_ival_impl_g(tbl_ref, box_ref,
                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                          tm_ref, tris_hbm,
                          dist_ref, u_ref, v_ref, tri_out,
                          best_ref, bu_ref, bv_ref, tri_ref,
                          tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                         lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                         lbox_ref, sems, nm_ref,
                          pages=None):
     o = (ox_ref[0], oy_ref[0], oz_ref[0])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
@@ -1832,11 +1961,6 @@ def _closest_ival_impl_g(tbl_ref, box_ref, boxv_ref,
     maxb0 = jnp.max(best_ref[:, :])
 
     itest = lambda box6, maxb: _ival_test_vals_g(box6, bnds, maxb)
-    if _NMASK:
-        _mask_prologue_g(boxv_ref, bnds, maxb0, nmv_ref, nms_ref, nmsem)
-        nm_ref = nms_ref
-    else:
-        nm_ref = None
     o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
     lim_fn, process_fn = _closest_ival_drain_g(
@@ -1855,25 +1979,28 @@ def _closest_ival_impl_g(tbl_ref, box_ref, boxv_ref,
     tri_out[0] = jnp.maximum(tri_ref[:, :], 0)
 
 
-def _closest_ival_kernel_g(tbl_hbm, box_hbm, boxv_hbm,
+def _closest_ival_kernel_g(tbl_hbm, box_hbm, masks_hbm,
                            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                            tm_ref, tris_hbm,
                            dist_ref, u_ref, v_ref, tri_out,
                            best_ref, bu_ref, bv_ref, tri_ref,
                            tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                           lbox_ref, sems, nmv_ref, nms_ref, nmsem,
-                           tbl_s, box_s, boxv_s, ssem):
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _closest_ival_impl_g(tbl_s, box_s, boxv_s,
+                           lbox_ref, sems,
+                           tbl_s, box_s, mask_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _closest_ival_impl_g(tbl_s, box_s,
                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                          tm_ref, tris_hbm,
                          dist_ref, u_ref, v_ref, tri_out,
                          best_ref, bu_ref, bv_ref, tri_ref,
                          tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                         lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
+                         lbox_ref, sems, nm, None)
 
 
-def _closest_ival_kernel_g_paged(tbl_hbm, box_hbm, boxv_hbm,
+def _closest_ival_kernel_g_paged(tbl_hbm, box_hbm, masks_hbm,
                                  ox_ref, oy_ref, oz_ref,
                                  dx_ref, dy_ref, dz_ref,
                                  tm_ref, tris_hbm, pg_meta_hbm, pg_box_hbm,
@@ -1882,26 +2009,29 @@ def _closest_ival_kernel_g_paged(tbl_hbm, box_hbm, boxv_hbm,
                                  tscratch, stack_ref, lq_ref, bits_ref,
                                  qlist_ref, lbox_ref, sems,
                                  pmeta_ref, pbox_ref, ptag_ref, psem,
-                                 nmv_ref, nms_ref, nmsem,
-                                 tbl_s, box_s, boxv_s, ssem):
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _closest_ival_impl_g(tbl_s, box_s, boxv_s,
+                                 tbl_s, box_s, mask_s, ssem,
+                                 *, mk_off, mk_cap):
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _closest_ival_impl_g(tbl_s, box_s,
                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                          tm_ref, tris_hbm,
                          dist_ref, u_ref, v_ref, tri_out,
                          best_ref, bu_ref, bv_ref, tri_ref,
                          tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                         lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                         lbox_ref, sems, nm,
                          (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
-                          ptag_ref, psem))
+                          ptag_ref, psem, mk_off, mk_cap))
 
 
-def _shadow_ival_impl_g(tbl_ref, box_ref, boxv_ref,
+def _shadow_ival_impl_g(tbl_ref, box_ref,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tm_ref, tris_hbm,
                         out_ref, blocked_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                        lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                        lbox_ref, sems, nm_ref,
                         pages=None):
     o = (ox_ref[0], oy_ref[0], oz_ref[0])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
@@ -1915,11 +2045,6 @@ def _shadow_ival_impl_g(tbl_ref, box_ref, boxv_ref,
     maxb0 = jnp.max(limit)
 
     itest = lambda box6, maxb: _ival_test_vals_g(box6, bnds, maxb)
-    if _NMASK:
-        _mask_prologue_g(boxv_ref, bnds, maxb0, nmv_ref, nms_ref, nmsem)
-        nm_ref = nms_ref
-    else:
-        nm_ref = None
     o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
     lim_fn, process_fn = _shadow_ival_drain_g(
@@ -1931,23 +2056,26 @@ def _shadow_ival_impl_g(tbl_ref, box_ref, boxv_ref,
     out_ref[0] = blocked_ref[:, :]
 
 
-def _shadow_ival_kernel_g(tbl_hbm, box_hbm, boxv_hbm,
+def _shadow_ival_kernel_g(tbl_hbm, box_hbm, masks_hbm,
                           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                           tm_ref, tris_hbm,
                           out_ref, blocked_ref,
                           tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                          lbox_ref, sems, nmv_ref, nms_ref, nmsem,
-                          tbl_s, box_s, boxv_s, ssem):
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _shadow_ival_impl_g(tbl_s, box_s, boxv_s,
+                          lbox_ref, sems,
+                          tbl_s, box_s, mask_s, ssem):
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _shadow_ival_impl_g(tbl_s, box_s,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tm_ref, tris_hbm,
                         out_ref, blocked_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                        lbox_ref, sems, nmv_ref, nms_ref, nmsem, None)
+                        lbox_ref, sems, nm, None)
 
 
-def _shadow_ival_kernel_g_paged(tbl_hbm, box_hbm, boxv_hbm,
+def _shadow_ival_kernel_g_paged(tbl_hbm, box_hbm, masks_hbm,
                                 ox_ref, oy_ref, oz_ref,
                                 dx_ref, dy_ref, dz_ref,
                                 tm_ref, tris_hbm, pg_meta_hbm, pg_box_hbm,
@@ -1955,26 +2083,29 @@ def _shadow_ival_kernel_g_paged(tbl_hbm, box_hbm, boxv_hbm,
                                 tscratch, stack_ref, lq_ref, bits_ref,
                                 qlist_ref, lbox_ref, sems,
                                 pmeta_ref, pbox_ref, ptag_ref, psem,
-                                nmv_ref, nms_ref, nmsem,
-                                tbl_s, box_s, boxv_s, ssem):
-    _stage_tables(tbl_hbm, box_hbm, boxv_hbm, tbl_s, box_s, boxv_s, ssem)
-    _shadow_ival_impl_g(tbl_s, box_s, boxv_s,
+                                tbl_s, box_s, mask_s, ssem,
+                                *, mk_off, mk_cap):
+    _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem)
+    if _NMASK:
+        _load_mask(masks_hbm, mask_s, ssem)
+    nm = mask_s if _NMASK else None
+    _shadow_ival_impl_g(tbl_s, box_s,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tm_ref, tris_hbm,
                         out_ref, blocked_ref,
                         tscratch, stack_ref, lq_ref, bits_ref, qlist_ref,
-                        lbox_ref, sems, nmv_ref, nms_ref, nmsem,
+                        lbox_ref, sems, nm,
                         (pg_meta_hbm, pg_box_hbm, pmeta_ref, pbox_ref,
-                         ptag_ref, psem))
+                         ptag_ref, psem, mk_off, mk_cap))
 
 
-def _stage_scratches(meta, box, boxv):
-    """Persistent staged-table scratches (appended LAST so kernels take
-    them after every other scratch ref)."""
+def _stage_scratches(meta, box, masks):
+    """Persistent staged-table scratches + the per-packet mask rows
+    (appended LAST so kernels take them after every other scratch ref)."""
     return [
         pltpu.SMEM((meta.size,), jnp.int32),
         pltpu.SMEM((box.size,), jnp.float32),
-        pltpu.VMEM(boxv.shape, jnp.float32),
+        pltpu.SMEM((masks.shape[1], masks.shape[2]), jnp.int32),
         pltpu.SemaphoreType.DMA((3,)),
     ]
 
@@ -1997,20 +2128,15 @@ def _ival_scratches(extra_vec: int, page_shapes=None, nv=1):
         base += [
             pltpu.SMEM((PG_SLOTS * 8, meta_l8), jnp.int32),  # page cache
             pltpu.SMEM((PG_SLOTS * 8, box_l8), jnp.float32),
-            pltpu.SMEM((PG_SLOTS + 1,), jnp.int32),  # tags + current slot
+            pltpu.SMEM((PG_SLOTS + 2,), jnp.int32),  # tags + cur slot
+            # + the cached slot's mask-index base
             pltpu.SemaphoreType.DMA((2,)),  # page meta/box DMAs
         ]
-    base += [
-        pltpu.VMEM((nv, 128), jnp.int32),  # mask prologue words (VPU out)
-        pltpu.SMEM((nv, 128), jnp.int32),  # mask words (walk reads)
-        pltpu.SemaphoreType.DMA(()),  # mask VMEM->SMEM copy
-    ]
     return base
 
 
 @partial(jax.jit, static_argnames=("p",))
-def _run_camera_ival(meta, box, cam, tris, p):
-    boxv = _boxv_of(box)
+def _run_camera_ival(meta, box, cam, tris, masks, p):
     return pl.pallas_call(
         _camera_ival_kernel,
         grid=(p,),
@@ -2024,17 +2150,16 @@ def _run_camera_ival(meta, box, cam, tris, p):
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _ival_scratches(0, nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+            + _ival_scratches(0)
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, cam, boxv, tris)
+    )(meta, box, cam, masks, tris)
 
 
 @jax.jit
-def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
+def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris, masks):
     p = dx.shape[0]
-    boxv = _boxv_of(box)
     return pl.pallas_call(
         _shadow_ival_kernel,
         grid=(p,),
@@ -2045,18 +2170,18 @@ def _run_shadow_ival(meta, box, orig, dx, dy, dz, tm, tris):
         out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _ival_scratches(0, nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+            + _ival_scratches(0)
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, orig, boxv, dx, dy, dz, tm, tris)
+    )(meta, box, orig, masks, dx, dy, dz, tm, tris)
 
 
-@partial(jax.jit, static_argnames=("p",))
-def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
-    boxv = _boxv_of(box)
+@partial(jax.jit, static_argnames=("p", "mk_off", "mk_cap"))
+def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, masks, p,
+                           mk_off, mk_cap):
     return pl.pallas_call(
-        _camera_ival_kernel_paged,
+        partial(_camera_ival_kernel_paged, mk_off=mk_off, mk_cap=mk_cap),
         grid=(p,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
@@ -2070,20 +2195,19 @@ def _run_camera_ival_paged(meta, box, cam, tris, pg_meta, pg_box, p):
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
             + _ival_scratches(
-                0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+                0, (pg_meta.shape[2], pg_box.shape[2]))
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, cam, boxv, tris, pg_meta, pg_box)
+    )(meta, box, cam, masks, tris, pg_meta, pg_box)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("mk_off", "mk_cap"))
 def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
-                           pg_meta, pg_box):
+                           pg_meta, pg_box, masks, mk_off, mk_cap):
     p = dx.shape[0]
-    boxv = _boxv_of(box)
     return pl.pallas_call(
-        _shadow_ival_kernel_paged,
+        partial(_shadow_ival_kernel_paged, mk_off=mk_off, mk_cap=mk_cap),
         grid=(p,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 4
@@ -2093,11 +2217,11 @@ def _run_shadow_ival_paged(meta, box, orig, dx, dy, dz, tm, tris,
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(
-                0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+                0, (pg_meta.shape[2], pg_box.shape[2]))
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, orig, boxv, dx, dy, dz, tm, tris, pg_meta, pg_box)
+    )(meta, box, orig, masks, dx, dy, dz, tm, tris, pg_meta, pg_box)
 
 
 def _stats_spec():
@@ -2106,8 +2230,7 @@ def _stats_spec():
 
 
 @partial(jax.jit, static_argnames=("p",))
-def _run_camera_ival_stats(meta, box, cam, tris, p):
-    boxv = _boxv_of(box)
+def _run_camera_ival_stats(meta, box, cam, tris, masks, p):
     return pl.pallas_call(
         _camera_ival_kernel_stats,
         grid=(p,),
@@ -2122,17 +2245,16 @@ def _run_camera_ival_stats(meta, box, cam, tris, p):
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _ival_scratches(0, nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+            + _ival_scratches(0)
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, cam, boxv, tris)
+    )(meta, box, cam, masks, tris)
 
 
 @jax.jit
-def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
+def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris, masks):
     p = dx.shape[0]
-    boxv = _boxv_of(box)
     return pl.pallas_call(
         _shadow_ival_kernel_stats,
         grid=(p,),
@@ -2146,17 +2268,16 @@ def _run_shadow_ival_stats(meta, box, orig, dx, dy, dz, tm, tris):
         ],
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _ival_scratches(0, nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+            + _ival_scratches(0)
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, orig, boxv, dx, dy, dz, tm, tris)
+    )(meta, box, orig, masks, dx, dy, dz, tm, tris)
 
 
 @jax.jit
-def _run_closest_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
+def _run_closest_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris, masks):
     p = ox.shape[0]
-    boxv = _boxv_of(box)
     return pl.pallas_call(
         _closest_ival_kernel_g,
         grid=(p,),
@@ -2171,20 +2292,20 @@ def _run_closest_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _ival_scratches(0, nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+            + _ival_scratches(0)
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris)
+    )(meta, box, masks, ox, oy, oz, dx, dy, dz, tm, tris)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("mk_off", "mk_cap"))
 def _run_closest_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
-                              pg_meta, pg_box):
+                              pg_meta, pg_box, masks, mk_off, mk_cap):
     p = ox.shape[0]
-    boxv = _boxv_of(box)
     return pl.pallas_call(
-        _closest_ival_kernel_g_paged,
+        partial(_closest_ival_kernel_g_paged, mk_off=mk_off,
+                mk_cap=mk_cap),
         grid=(p,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 7
@@ -2198,17 +2319,16 @@ def _run_closest_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
             + _ival_scratches(
-                0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+                0, (pg_meta.shape[2], pg_box.shape[2]))
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris, pg_meta, pg_box)
+    )(meta, box, masks, ox, oy, oz, dx, dy, dz, tm, tris, pg_meta, pg_box)
 
 
 @jax.jit
-def _run_shadow_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
+def _run_shadow_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris, masks):
     p = ox.shape[0]
-    boxv = _boxv_of(box)
     return pl.pallas_call(
         _shadow_ival_kernel_g,
         grid=(p,),
@@ -2219,20 +2339,20 @@ def _run_shadow_ival_g(meta, box, ox, oy, oz, dx, dy, dz, tm, tris):
         out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _ival_scratches(0, nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+            + _ival_scratches(0)
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris)
+    )(meta, box, masks, ox, oy, oz, dx, dy, dz, tm, tris)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("mk_off", "mk_cap"))
 def _run_shadow_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
-                             pg_meta, pg_box):
+                             pg_meta, pg_box, masks, mk_off, mk_cap):
     p = ox.shape[0]
-    boxv = _boxv_of(box)
     return pl.pallas_call(
-        _shadow_ival_kernel_g_paged,
+        partial(_shadow_ival_kernel_g_paged, mk_off=mk_off,
+                mk_cap=mk_cap),
         grid=(p,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         + [_blk()] * 7
@@ -2242,11 +2362,11 @@ def _run_shadow_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
             + _ival_scratches(
-                0, (pg_meta.shape[2], pg_box.shape[2]), nv=boxv.shape[1])
-            + _stage_scratches(meta, box, boxv)
+                0, (pg_meta.shape[2], pg_box.shape[2]))
+            + _stage_scratches(meta, box, masks)
         ),
         interpret=_interpret(),
-    )(meta, box, boxv, ox, oy, oz, dx, dy, dz, tm, tris, pg_meta, pg_box)
+    )(meta, box, masks, ox, oy, oz, dx, dy, dz, tm, tris, pg_meta, pg_box)
 
 
 # ---------------------------------------------------------------------------
@@ -2324,6 +2444,10 @@ def _cam_vec(camera, width, height, tiles_x):
     ]).astype(jnp.float32)
 
 
+def _dummy_masks(p):
+    return jnp.zeros((p, 8, 128), jnp.int32)
+
+
 def camera_trace(scene, camera, width: int, height: int):
     """Fused raygen + closest hit for a full frame of primary rays.
 
@@ -2339,12 +2463,19 @@ def camera_trace(scene, camera, width: int, height: int):
     p = tiles_x * (height // TILE)
     cam = _cam_vec(camera, width, height, tiles_x)
 
+    if _NMASK:
+        masks = _camera_mask_words(scene.mk_boxv, camera, width, height,
+                                   scene.node_lo[0], scene.node_hi[0])
+    else:
+        masks = _dummy_masks(p)
+
     if getattr(scene, "pg_meta", None) is not None:
         # two-level large-scene walk (bvh/pages.py)
         dist, u, v, tri, dx, dy, dz = _run_camera_ival_paged(
             scene.pk_meta, scene.pk_box, cam,
             shared_rows(scene.pk_tris, camera.pos),
-            scene.pg_meta, scene.pg_box, p
+            scene.pg_meta, scene.pg_box, masks, p,
+            scene.mk_off, scene.mk_cap,
         )
         f = lambda a: a.reshape(-1)
         return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
@@ -2352,7 +2483,7 @@ def camera_trace(scene, camera, width: int, height: int):
     if scene.leaf_max <= IVAL_LEAF:
         dist, u, v, tri, dx, dy, dz = _run_camera_ival(
             scene.pk_meta, scene.pk_box, cam,
-            shared_rows(scene.pk_tris, camera.pos), p
+            shared_rows(scene.pk_tris, camera.pos), masks, p
         )
         f = lambda a: a.reshape(-1)
         return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
@@ -2388,9 +2519,12 @@ def camera_trace_stats(scene, camera, width: int, height: int):
     tiles_x = width // TILE
     p = tiles_x * (height // TILE)
     cam = _cam_vec(camera, width, height, tiles_x)
+    masks = (_camera_mask_words(scene.mk_boxv, camera, width, height,
+                                scene.node_lo[0], scene.node_hi[0])
+             if _NMASK else _dummy_masks(p))
     out = _run_camera_ival_stats(
         scene.pk_meta, scene.pk_box, cam,
-        shared_rows(scene.pk_tris, camera.pos), p
+        shared_rows(scene.pk_tris, camera.pos), masks, p
     )
     dist, u, v, tri, dx, dy, dz, stats = out
     f = lambda a: a.reshape(-1)
@@ -2409,10 +2543,14 @@ def any_hit_shared_stats(scene, light_pos, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
     pk = _pk
+    masks = (_shared_mask_words(scene.mk_boxv, orig, pk(dx), pk(dy),
+                                pk(dz), pk(tm))
+             if _NMASK else _dummy_masks(pk(dx).shape[0]))
     out, stats = _run_shadow_ival_stats(
         scene.pk_meta, scene.pk_box, orig,
         pk(dx), pk(dy), pk(dz), pk(tm),
         shared_rows(scene.pk_tris, jnp.asarray(light_pos, jnp.float32)),
+        masks,
     )
     return out.reshape(-1)[:n] > 0.0, stats.reshape(-1, 8)
 
@@ -2527,17 +2665,22 @@ def closest_hit_c(scene, o3, d3, tmax):
         ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
         dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
                                         unit_fallback=True)
+        masks = (_general_mask_words(scene.mk_boxv, pk(ox), pk(oy),
+                                     pk(oz), pk(dx), pk(dy), pk(dz),
+                                     pk(tm))
+                 if _NMASK else _dummy_masks(pk(dx).shape[0]))
         if paged:
             dist, u, v, tri = _run_closest_ival_g_paged(
                 scene.pk_meta, scene.pk_box,
                 pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
-                scene.pk_tris, scene.pg_meta, scene.pg_box,
+                scene.pk_tris, scene.pg_meta, scene.pg_box, masks,
+                scene.mk_off, scene.mk_cap,
             )
         else:
             dist, u, v, tri = _run_closest_ival_g(
                 scene.pk_meta, scene.pk_box,
                 pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
-                scene.pk_tris,
+                scene.pk_tris, masks,
             )
         f = lambda a: a.reshape(-1)[:n]
         return f(dist), f(u), f(v), f(tri)
@@ -2559,12 +2702,18 @@ def any_hit_shared(scene, light_pos, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
     pk = _pk
-    if getattr(scene, "pg_meta", None) is not None:
+    paged = getattr(scene, "pg_meta", None) is not None
+    if paged or scene.leaf_max <= IVAL_LEAF:
+        masks = (_shared_mask_words(scene.mk_boxv, orig, pk(dx), pk(dy),
+                                    pk(dz), pk(tm))
+                 if _NMASK else _dummy_masks(pk(dx).shape[0]))
+    if paged:
         out = _run_shadow_ival_paged(
             scene.pk_meta, scene.pk_box, orig,
             pk(dx), pk(dy), pk(dz), pk(tm),
             shared_rows(scene.pk_tris, jnp.asarray(light_pos, jnp.float32)),
-            scene.pg_meta, scene.pg_box,
+            scene.pg_meta, scene.pg_box, masks,
+            scene.mk_off, scene.mk_cap,
         )
         return out.reshape(-1)[:n] > 0.0
     if scene.leaf_max <= IVAL_LEAF:
@@ -2572,6 +2721,7 @@ def any_hit_shared(scene, light_pos, d3, tmax):
             scene.pk_meta, scene.pk_box, orig,
             pk(dx), pk(dy), pk(dz), pk(tm),
             shared_rows(scene.pk_tris, jnp.asarray(light_pos, jnp.float32)),
+            masks,
         )
         return out.reshape(-1)[:n] > 0.0
     signs = _signs_of(pk(dx)[:, 0, 0], pk(dy)[:, 0, 0], pk(dz)[:, 0, 0])
@@ -2616,17 +2766,22 @@ def any_hit_c(scene, o3, d3, tmax):
         ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
         dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
                                         unit_fallback=True)
+        masks = (_general_mask_words(scene.mk_boxv, pk(ox), pk(oy),
+                                     pk(oz), pk(dx), pk(dy), pk(dz),
+                                     pk(tm))
+                 if _NMASK else _dummy_masks(pk(dx).shape[0]))
         if paged:
             out = _run_shadow_ival_g_paged(
                 scene.pk_meta, scene.pk_box,
                 pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
-                scene.pk_tris, scene.pg_meta, scene.pg_box,
+                scene.pk_tris, scene.pg_meta, scene.pg_box, masks,
+                scene.mk_off, scene.mk_cap,
             )
         else:
             out = _run_shadow_ival_g(
                 scene.pk_meta, scene.pk_box,
                 pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
-                scene.pk_tris,
+                scene.pk_tris, masks,
             )
         return out.reshape(-1)[:n] > 0.0
     signs = _signs_of(pk(dx)[:, 0, 0], pk(dy)[:, 0, 0], pk(dz)[:, 0, 0])

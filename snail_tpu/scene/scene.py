@@ -78,6 +78,9 @@ class TracedScene:
     # HBM-resident node pages. None => single-level scene.
     pg_meta: Optional[jnp.ndarray] = None
     pg_box: Optional[jnp.ndarray] = None
+    # Planar node boxes for the XLA node-mask pass (traverse_pallas
+    # compute_masks): f32[6, NV, 8, 128] covering top + page-local nodes.
+    mk_boxv: Optional[jnp.ndarray] = None
     # Component-planar (SoA) shading arrays for the packed fast path:
     # 16 flat (T,) arrays (n0.xyz, ne1.xyz, ne2.xyz, uv0.uv, uve1.uv,
     # uve2.uv, mat) — gathers of (T,) beat gathers of (T, 3) on TPU.
@@ -95,6 +98,10 @@ class TracedScene:
     num_nodes: int = static_field(default=0)
     leaf_max: int = static_field(default=8)
     depth: int = static_field(default=32)
+    # mask-index base/stride of page-local nodes (traverse_pallas
+    # build_mask_boxv): page p local n -> mk_off + p * mk_cap + n
+    mk_off: int = static_field(default=0)
+    mk_cap: int = static_field(default=0)
     backend: str = static_field(default="auto")  # auto | reference | pallas
 
     @property
@@ -154,17 +161,20 @@ def make_traced_scene(
         pack_scene_arrays_paged,
     )
 
-    pg_meta = pg_box = None
+    pg_meta = pg_box = mk_boxv = None
+    mk_off = mk_cap = 0
     try:
-        pk_meta, pk_box, pk_tris = pack_scene_arrays(bvh, g)
+        pk_meta, pk_box, pk_tris, mk_boxv, mk_off = pack_scene_arrays(
+            bvh, g)
         pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
+        mk_boxv = dev(mk_boxv)
     except ValueError:
         try:  # over the SMEM node cap: two-level page layout
-            pk_meta, pk_box, pk_tris, pg_meta, pg_box = (
-                pack_scene_arrays_paged(bvh, g)
-            )
+            (pk_meta, pk_box, pk_tris, pg_meta, pg_box, mk_boxv, mk_off,
+             mk_cap) = pack_scene_arrays_paged(bvh, g)
             pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
             pg_meta, pg_box = dev(pg_meta), dev(pg_box)
+            mk_boxv = dev(mk_boxv)
         except ValueError:
             pk_meta = pk_box = pk_tris = None  # jnp fallback
 
@@ -234,6 +244,7 @@ def make_traced_scene(
         pk_tris=pk_tris,
         pg_meta=pg_meta,
         pg_box=pg_box,
+        mk_boxv=mk_boxv,
         sh_soa=sh_soa,
         sh_pack=dev(sh_pack),
         mat_pack=dev(mat_pack),
@@ -241,6 +252,8 @@ def make_traced_scene(
         num_nodes=bvh.num_nodes,
         leaf_max=leaf_max,
         depth=bvh.depth,
+        mk_off=mk_off,
+        mk_cap=mk_cap,
         backend=backend,
     )
 

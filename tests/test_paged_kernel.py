@@ -30,17 +30,23 @@ def scenes():
     flat = make_traced_scene(g, bvh, lights=lights)
     assert flat.pg_meta is None
 
-    from snail_tpu.ops.traverse_pallas import page_kernel_layout
+    from snail_tpu.ops.traverse_pallas import (
+        build_mask_boxv, page_kernel_layout,
+    )
 
     layout = partition_pages(bvh, page_cap=4)
     assert layout.n_pages > 1
     pm, pb = page_kernel_layout(layout.pg_meta, layout.pg_box)
+    mk_boxv, mk_off = build_mask_boxv(layout.top_box, pb, layout.page_cap)
     paged = dataclasses.replace(
         flat,
         pk_meta=jnp.asarray(layout.top_meta),
         pk_box=jnp.asarray(layout.top_box),
         pg_meta=jnp.asarray(pm),
         pg_box=jnp.asarray(pb),
+        mk_boxv=jnp.asarray(mk_boxv),
+        mk_off=mk_off,
+        mk_cap=layout.page_cap,
     )
     cam = Camera.look_at(pos=(0.0, 2.0, 6.0), target=(0.0, 1.5, 0.0))
     return flat, paged, cam, lights

@@ -34,7 +34,7 @@ def main():
     g = terrain_scene(n).flatten()
     lo, hi = g.bounds()
     bvh = build_or_load(lo, hi, cache_dir="/tmp/snail_dump",
-                        name=f"terrain{n}", leaf_size=16)
+                        name=f"terrain{n}32", leaf_size=32)
     lights = Light.make((0.0, 60.0, 0.0), (1.0, 1.0, 1.0), 200.0)
     scene = make_traced_scene(g, bvh, lights=lights)
     print(f"scene: {scene.num_tris} tris, {scene.num_nodes} nodes, "

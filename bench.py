@@ -57,9 +57,27 @@ def left():
     return BUDGET_S - (time.monotonic() - _T0)
 
 
+def _retry(fn, tries=4, sleep_s=45):
+    """The axon TPU tunnel intermittently ABORTs the first heavy kernel
+    launch and needs a cool-down before it recovers (round-4 field
+    observation: ~50% of fresh launches on big scenes). Retry with
+    sleeps so one flake can't erase a whole bench section."""
+    last = None
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - backend aborts vary
+            last = e
+            if "bort" not in str(e) and "INTERNAL" not in str(e):
+                raise
+            print(f"# TPU abort (attempt {i + 1}/{tries}); "
+                  f"sleeping {sleep_s}s", file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+    raise last
+
+
 def bench_loop(fn, frames=FRAMES):
-    out = fn()
-    jax_block(out)  # warmup/compile
+    _retry(lambda: jax_block(fn()))  # warmup/compile (abort-retried)
     t0 = time.perf_counter()
     for _ in range(frames):
         out = fn()
@@ -98,8 +116,9 @@ def bench_paged():
     n = 724  # ~1.05 Mtri
     g = terrain_scene(n).flatten()
     lo, hi = g.bounds()
+    # leaf 32 measured 286 ms vs 457 at leaf 16 on the chip (round 4)
     bvh = build_or_load(lo, hi, cache_dir="/tmp/snail_dump",
-                        name=f"terrain{n}", leaf_size=16)
+                        name=f"terrain{n}32", leaf_size=32)
     lights = Light.make((0.0, 60.0, 0.0), (1.0, 1.0, 1.0), 200.0)
     scene = make_traced_scene(g, bvh, lights=lights)
     assert scene.pg_meta is not None, "expected a paged scene"
@@ -154,14 +173,20 @@ def main():
     rays = WIDTH * HEIGHT * (1 + n_lights)  # primary + shadow per light
 
     # --- 1. forward (printed FIRST: the fallback headline) ---
-    dt = bench_loop(lambda: render_frame(scene, cam, WIDTH, HEIGHT, opts))
-    mrays = rays / dt / 1e6
-    emit({
-        "metric": f"{scene_name}_1024_whitted_fwd",
-        "value": round(mrays, 2),
-        "unit": "MRays/s/chip",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-    })
+    mrays = 0.0
+    try:
+        dt = bench_loop(lambda: render_frame(scene, cam, WIDTH, HEIGHT,
+                                             opts))
+        mrays = rays / dt / 1e6
+        emit({
+            "metric": f"{scene_name}_1024_whitted_fwd",
+            "value": round(mrays, 2),
+            "unit": "MRays/s/chip",
+            "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        })
+    except Exception:
+        traceback.print_exc()
+        sys.stderr.flush()
 
     # --- 2. forward, textured (reference headline row is sponza+tex;
     # unconditional — round 3's budget gate starved it) ---
@@ -206,9 +231,9 @@ def main():
 
     bopts = RenderOpts(reflections=True, transparency=False, textures=False,
                        shadows=True)
-    target = jax.lax.stop_gradient(
+    target = _retry(lambda: jax.block_until_ready(jax.lax.stop_gradient(
         render_frame(scene, cam, WIDTH, HEIGHT, bopts)
-    )
+    )))
     params = {
         "tri_a": scene.tri_a,
         "mat_diffuse": scene.mat_diffuse,
@@ -232,8 +257,8 @@ def main():
         return jnp.mean((color - target) ** 2)
 
     vg = jax.jit(jax.value_and_grad(step))
-    loss, grads = vg(params, scene, cam, target)
-    jax_block(loss)  # warmup/compile
+    loss, grads = _retry(lambda: jax.block_until_ready(
+        vg(params, scene, cam, target)))
     assert bool(jnp.isfinite(loss)), loss
     for k, g in grads.items():
         assert bool(jnp.isfinite(g).all()), k

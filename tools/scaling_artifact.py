@@ -58,11 +58,11 @@ opts = RenderOpts(textures=False, reflections=False, transparency=False)
 mesh = dist.global_mesh()
 scene = dist.replicate_scene(scene, mesh)
 img = dist.render_frame_multihost(scene, cam, 256, 256, opts, mesh)
-img.block_until_ready()  # warmup/compile
+_ = np.asarray(img)  # warmup/compile (gather already syncs)
 t0 = time.perf_counter()
 for _ in range(3):
     img = dist.render_frame_multihost(scene, cam, 256, 256, opts, mesh)
-img.block_until_ready()
+_ = np.asarray(img)
 ms = (time.perf_counter() - t0) / 3 * 1e3
 print("RESULT " + json.dumps({"rank": jax.process_index(), "ms": ms}),
       flush=True)

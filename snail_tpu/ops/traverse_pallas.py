@@ -42,10 +42,20 @@ kernel design (src/spu/trace.cpp), mapped onto the TPU memory hierarchy:
 
 Why SMEM for the tree: Mosaic has no dynamic scalar loads from VMEM, and
 traversal is scalar control flow — the tree must live where the scalar
-core can randomly index it. Fat leaves (``LEAF_PAD`` tris) keep the node
-table small and push geometry bytes into HBM-streamed leaf blocks where
-the VPU brute-forces them. Capacity ~14k nodes; bigger scenes fall back
-to the jnp path until the two-level scheme lands.
+core can randomly index it. The tables are STAGED into persistent SMEM
+scratch once per launch (_stage_tables; SMEM-space pallas inputs are
+re-filled every grid step, ~37 us/packet measured). SMEM is ~1 MB on
+this chip (tools/probe_smem.py), capping a single-level tree at
+SMEM_NODE_CAP nodes; bigger scenes take the two-level paged layout
+(bvh/pages.py) whose node pages are DMA'd into a persistent
+direct-mapped SMEM cache on demand.
+
+Node culling is mask-driven: one dense XLA pass per wavefront
+(compute_masks) interval-tests EVERY node — top tree and page-local
+alike — against each packet's ray-interval bounds and bit-packs the
+verdicts; each kernel grid step DMAs its packet's few-KB mask row into
+SMEM and the walk reads ~10-op bits instead of running ~45-op scalar
+interval tests twice per pop.
 
 All wavefront IO is component-planar ``(P, 32, 128)`` float32 — AoS (R, 3)
 arrays would force lane-crossing transposes that cost more than the
@@ -372,16 +382,6 @@ def _slab_any(o, idir, lo, hi, best):
 def _tri_cols(ts, r0):
     """Static (4, 1, 1) component slices of the staged leaf block."""
     return [ts[r0 : r0 + 4, j : j + 1][..., None] for j in range(12)]
-
-
-def _tri_cols_slot(ts_ref, slot, r0):
-    """(4, 1, 1) component loads from ring slot ``slot`` of a
-    (NBUF, IVAL_LEAF, TRI_ROW) scratch. Slicing the ref directly (dynamic
-    leading index + static minor slices) keeps Mosaic on plain vector
-    loads; loading ts_ref[slot] as a value first forces a relayout of the
-    whole block per access (measured 8x slower)."""
-    return [ts_ref[slot, r0 : r0 + 4, j : j + 1][..., None]
-            for j in range(12)]
 
 
 @jax.jit

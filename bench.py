@@ -10,31 +10,33 @@ Baseline: 100 MRays/s/chip — the BASELINE.json north-star per-chip target
 (one TPU chip vs the reference's full 8-node cluster, which peaks at
 153-160 MRays/s on sponza-no-tex and 44 on one node).
 
-Up to four JSON metric lines, each flushed the moment it is measured so a
-driver timeout can never erase an already-computed number:
+Up to four JSON metric lines, each flushed the moment it is measured:
   1. forward               (feline_1024_whitted_fwd)
   2. forward, textured     (feline_1024_whitted_fwd_tex — the reference's
                             headline sponza row is WITH textures,
-                            benchmark.txt:91-94; runs unconditionally:
-                            round 3 starved it behind a budget gate)
+                            benchmark.txt:91-94)
   3. paged forward         (terrain_1m_paged_fwd — the reference's
                             large-scene rows foot 1.06 Mtri / thai 10 Mtri,
                             benchmark.txt:78-80, 101-104; ~1.05 Mtri
                             procedural terrain through the two-level paged
-                            kernels; budget-gated, it needs a BVH build)
+                            kernels)
   4. forward+backward      (feline_1024_whitted_fwd_bwd — the BASELINE.json
                             metric; printed LAST so the driver's last-line
                             parse records the north star). Differentiates
                             the FULL north-star set — vertices, materials,
                             light position/color, camera position — with
-                            shadows AND reflections on (BASELINE config 4),
-                            not the cheapest shading mode.
-Sections are skipped (not attempted) when the remaining time budget
-(SNAIL_BENCH_BUDGET seconds, default 420) can't fit their compile.
+                            shadows AND reflections on (BASELINE config 4).
+
+Robustness: the axon TPU tunnel intermittently ABORTs heavy kernel
+launches, and once a process's client has aborted it often stays dead.
+Each section therefore runs in its OWN SUBPROCESS (SNAIL_BENCH_SECTION)
+with retries + cool-downs, so a dead client costs one retry, not the
+whole benchmark. Budget: SNAIL_BENCH_BUDGET seconds (default 420).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 import traceback
@@ -57,27 +59,9 @@ def left():
     return BUDGET_S - (time.monotonic() - _T0)
 
 
-def _retry(fn, tries=4, sleep_s=45):
-    """The axon TPU tunnel intermittently ABORTs the first heavy kernel
-    launch and needs a cool-down before it recovers (round-4 field
-    observation: ~50% of fresh launches on big scenes). Retry with
-    sleeps so one flake can't erase a whole bench section."""
-    last = None
-    for i in range(tries):
-        try:
-            return fn()
-        except Exception as e:  # noqa: BLE001 - backend aborts vary
-            last = e
-            if "bort" not in str(e) and "INTERNAL" not in str(e):
-                raise
-            print(f"# TPU abort (attempt {i + 1}/{tries}); "
-                  f"sleeping {sleep_s}s", file=sys.stderr, flush=True)
-            time.sleep(sleep_s)
-    raise last
-
-
 def bench_loop(fn, frames=FRAMES):
-    _retry(lambda: jax_block(fn()))  # warmup/compile (abort-retried)
+    out = fn()
+    jax_block(out)  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(frames):
         out = fn()
@@ -91,9 +75,29 @@ def jax_block(x):
     jax.block_until_ready(x)
 
 
-def _camera_for(scene):
-    import numpy as np
+def _load_headline_scene():
+    from snail_tpu.core.types import Light
+    from snail_tpu.scene.scene import load_scene, make_traced_scene
 
+    if os.path.exists(FELINE):
+        lights = Light.make((5.0, 15.0, 5.0), (1.0, 1.0, 1.0), 60.0)
+        scene = load_scene(FELINE, cache_dir="/tmp/snail_dump",
+                           lights=lights)
+        return scene, "feline"
+    # self-contained fallback
+    from snail_tpu.bvh import build_bvh
+    from snail_tpu.core.types import Light
+    from snail_tpu.scene.procedural import city_scene
+
+    base = city_scene(24)
+    g = base.flatten()
+    tlo, thi = g.bounds()
+    bvh = build_bvh(tlo, thi, leaf_size=16)
+    lights = Light.make((0.0, 30.0, 0.0), (1.0, 1.0, 1.0), 120.0)
+    return make_traced_scene(g, bvh, lights=lights), "city"
+
+
+def _camera_for(scene):
     from snail_tpu.core.types import Camera
 
     lo, hi = np.asarray(scene.node_lo[0]), np.asarray(scene.node_hi[0])
@@ -105,8 +109,47 @@ def _camera_for(scene):
     )
 
 
-def bench_paged():
-    """Large-scene paged row (the tools/bench_big.py config, in-budget)."""
+def section_fwd():
+    from snail_tpu.core.types import RenderOpts
+    from snail_tpu.render.renderer import render_frame
+
+    scene, name = _load_headline_scene()
+    cam = _camera_for(scene)
+    opts = RenderOpts(reflections=False, transparency=False, textures=False)
+    rays = WIDTH * HEIGHT * (1 + scene.lights.pos.shape[0])
+    dt = bench_loop(lambda: render_frame(scene, cam, WIDTH, HEIGHT, opts))
+    mrays = rays / dt / 1e6
+    emit({
+        "metric": f"{name}_1024_whitted_fwd",
+        "value": round(mrays, 2),
+        "unit": "MRays/s/chip",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+    })
+
+
+def section_tex():
+    from snail_tpu.core.types import RenderOpts
+    from snail_tpu.render.renderer import render_frame
+    from snail_tpu.scene.textures import checker_atlas
+
+    scene, name = _load_headline_scene()
+    cam = _camera_for(scene)
+    tex_scene = checker_atlas(scene)
+    topts = RenderOpts(reflections=False, transparency=False, textures=True)
+    rays = WIDTH * HEIGHT * (1 + scene.lights.pos.shape[0])
+    dt = bench_loop(lambda: render_frame(tex_scene, cam, WIDTH, HEIGHT,
+                                         topts))
+    mrays = rays / dt / 1e6
+    emit({
+        "metric": f"{name}_1024_whitted_fwd_tex",
+        "value": round(mrays, 2),
+        "unit": "MRays/s/chip",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+    })
+
+
+def section_paged():
+    """Large-scene paged row (the tools/bench_big.py config)."""
     from snail_tpu.bvh.cache import build_or_load
     from snail_tpu.core.types import Camera, Light, RenderOpts
     from snail_tpu.render.fast import render_frame_fast
@@ -125,8 +168,9 @@ def bench_paged():
     slo, shi = np.asarray(scene.node_lo[0]), np.asarray(scene.node_hi[0])
     center = (slo + shi) * 0.5
     ext = float(np.max(shi - slo))
-    cam = Camera.look_at(pos=tuple(center + np.array([0.35, 0.25, 0.4]) * ext),
-                         target=tuple(center))
+    cam = Camera.look_at(
+        pos=tuple(center + np.array([0.35, 0.25, 0.4]) * ext),
+        target=tuple(center))
     opts = RenderOpts(reflections=False, transparency=False, textures=False)
     dt = bench_loop(lambda: render_frame_fast(scene, cam, WIDTH, HEIGHT,
                                               opts))
@@ -142,98 +186,25 @@ def bench_paged():
     })
 
 
-def main():
+def section_bwd():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    from snail_tpu.core.types import Camera, Light, RenderOpts
-    from snail_tpu.render.renderer import render_frame
-    from snail_tpu.scene.scene import load_scene, make_traced_scene
-
-    if os.path.exists(FELINE):
-        lights = Light.make((5.0, 15.0, 5.0), (1.0, 1.0, 1.0), 60.0)
-        scene = load_scene(FELINE, cache_dir="/tmp/snail_dump", lights=lights)
-        scene_name = "feline"
-    else:  # self-contained fallback
-        from snail_tpu.bvh import build_bvh
-        from snail_tpu.scene.procedural import city_scene
-
-        base = city_scene(24)
-        g = base.flatten()
-        tlo, thi = g.bounds()
-        bvh = build_bvh(tlo, thi, leaf_size=16)
-        lights = Light.make((0.0, 30.0, 0.0), (1.0, 1.0, 1.0), 120.0)
-        scene = make_traced_scene(g, bvh, lights=lights)
-        scene_name = "city"
-
-    cam = _camera_for(scene)
-    opts = RenderOpts(reflections=False, transparency=False, textures=False)
-
-    n_lights = scene.lights.pos.shape[0]
-    rays = WIDTH * HEIGHT * (1 + n_lights)  # primary + shadow per light
-
-    # --- 1. forward (printed FIRST: the fallback headline) ---
-    mrays = 0.0
-    try:
-        dt = bench_loop(lambda: render_frame(scene, cam, WIDTH, HEIGHT,
-                                             opts))
-        mrays = rays / dt / 1e6
-        emit({
-            "metric": f"{scene_name}_1024_whitted_fwd",
-            "value": round(mrays, 2),
-            "unit": "MRays/s/chip",
-            "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-        })
-    except Exception:
-        traceback.print_exc()
-        sys.stderr.flush()
-
-    # --- 2. forward, textured (reference headline row is sponza+tex;
-    # unconditional — round 3's budget gate starved it) ---
-    try:
-        from snail_tpu.scene.textures import checker_atlas
-
-        tex_scene = checker_atlas(scene)
-        topts = RenderOpts(reflections=False, transparency=False,
-                           textures=True)
-        dtt = bench_loop(
-            lambda: render_frame(tex_scene, cam, WIDTH, HEIGHT, topts)
-        )
-        mrays_t = rays / dtt / 1e6
-        emit({
-            "metric": f"{scene_name}_1024_whitted_fwd_tex",
-            "value": round(mrays_t, 2),
-            "unit": "MRays/s/chip",
-            "vs_baseline": round(mrays_t / BASELINE_MRAYS, 3),
-        })
-    except Exception:
-        traceback.print_exc()
-        sys.stderr.flush()
-
-    # --- 3. paged large-scene forward (needs BVH build + fresh compile:
-    # only when the budget clearly fits it AND the backward section) ---
-    try:
-        if left() > 300:
-            bench_paged()
-    except Exception:
-        traceback.print_exc()
-        sys.stderr.flush()
-
-    # --- 4. forward + backward (the BASELINE.json metric, printed LAST
-    # so the driver's last-line parse records it): one render + gradient
-    # w.r.t. the FULL north-star parameter set (vertices, materials,
-    # light pos/color, camera pos — BASELINE config 4) through the
-    # differentiable FAST path, with shadows AND reflections on ---
-    import dataclasses
-
     from snail_tpu.core.types import Light as _Light
+    from snail_tpu.core.types import RenderOpts
     from snail_tpu.render.fast import render_frame_fast_diff
+    from snail_tpu.render.renderer import render_frame
 
+    scene, name = _load_headline_scene()
+    cam = _camera_for(scene)
+    rays = WIDTH * HEIGHT * (1 + scene.lights.pos.shape[0])
     bopts = RenderOpts(reflections=True, transparency=False, textures=False,
                        shadows=True)
-    target = _retry(lambda: jax.block_until_ready(jax.lax.stop_gradient(
+    target = jax.lax.stop_gradient(
         render_frame(scene, cam, WIDTH, HEIGHT, bopts)
-    )))
+    )
     params = {
         "tri_a": scene.tri_a,
         "mat_diffuse": scene.mat_diffuse,
@@ -257,8 +228,8 @@ def main():
         return jnp.mean((color - target) ** 2)
 
     vg = jax.jit(jax.value_and_grad(step))
-    loss, grads = _retry(lambda: jax.block_until_ready(
-        vg(params, scene, cam, target)))
+    loss, grads = vg(params, scene, cam, target)
+    jax_block(loss)  # warmup/compile
     assert bool(jnp.isfinite(loss)), loss
     for k, g in grads.items():
         assert bool(jnp.isfinite(g).all()), k
@@ -266,14 +237,72 @@ def main():
     dtb = bench_loop(lambda: vg(params, scene, cam, target))
     mrays_b = rays / dtb / 1e6
     emit({
-        "metric": f"{scene_name}_1024_whitted_fwd_bwd",
+        "metric": f"{name}_1024_whitted_fwd_bwd",
         "value": round(mrays_b, 2),
         "unit": "MRays/s/chip",
         "vs_baseline": round(mrays_b / BASELINE_MRAYS, 3),
-        "fwd_only_mrays": round(mrays, 2),
         "grad_params": sorted(params),
         "config": "shadows+reflections on",
     })
+
+
+SECTIONS = {
+    "fwd": section_fwd,
+    "tex": section_tex,
+    "paged": section_paged,
+    "bwd": section_bwd,
+}
+
+# minimum seconds of remaining budget to ATTEMPT a section (compile cost)
+_MIN_BUDGET = {"fwd": 60, "tex": 60, "paged": 120, "bwd": 150}
+
+
+def _drive():
+    """Run each section in a fresh subprocess with retries: an ABORTed
+    TPU client dies with the subprocess instead of poisoning the rest."""
+    bwd_line = None
+    for name in ("fwd", "tex", "paged", "bwd"):
+        tries = 3 if name in ("fwd", "bwd") else 2
+        for attempt in range(tries):
+            if left() < _MIN_BUDGET[name]:
+                print(f"# skip {name}: {left():.0f}s budget left",
+                      file=sys.stderr, flush=True)
+                break
+            env = dict(os.environ)
+            env["SNAIL_BENCH_SECTION"] = name
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    capture_output=True, text=True,
+                    timeout=max(60, left()),
+                )
+            except subprocess.TimeoutExpired:
+                print(f"# {name} timed out", file=sys.stderr, flush=True)
+                break
+            got = False
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    if name == "bwd":
+                        bwd_line = line  # re-print LAST (driver parses it)
+                    else:
+                        print(line, flush=True)
+                    got = True
+            if got:
+                break
+            sys.stderr.write(r.stderr[-2000:] + "\n")
+            print(f"# {name} attempt {attempt + 1}/{tries} failed; "
+                  f"cooling down 45s", file=sys.stderr, flush=True)
+            time.sleep(45)
+    if bwd_line:
+        print(bwd_line, flush=True)
+
+
+def main():
+    sec = os.environ.get("SNAIL_BENCH_SECTION")
+    if sec:
+        SECTIONS[sec]()
+        return
+    _drive()
 
 
 if __name__ == "__main__":

@@ -1151,6 +1151,20 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
             stats_ref[0, 0, i] = 0
 
     use2 = pages is None and _WALK2 and tbl_ref.shape[0] > 2
+    if use2:
+        # The chunk culls read box_ref[lq[i*3+2] * 6] for ALL NBUF slots
+        # (static unroll; invalid slots are masked out of the bits).
+        # Slots never yet enqueued hold uninitialized SMEM on the very
+        # first chunk of grid step 0 — a garbage node id there is an
+        # out-of-bounds scalar read (intermittent hardware aborts,
+        # round-4 field debugging). Zero the ids once; scratch persists
+        # across the remaining grid steps and stale ids from earlier
+        # chunks/packets are always in-bounds.
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for i in range(NBUF):
+                lq_ref[i * 3 + 2] = 0
 
     def _enq(nq, first, count, this):
         """Queue one leaf (flat walk v2): start its DMA and record

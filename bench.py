@@ -246,22 +246,65 @@ def section_bwd():
     })
 
 
+def section_bwd_min():
+    """Round-3-comparable backward row: cheapest shading config
+    (no secondary rays), vertices+materials only — kept so the
+    full-gradient row above can be compared across rounds."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from snail_tpu.core.types import RenderOpts
+    from snail_tpu.render.fast import render_frame_fast_diff
+    from snail_tpu.render.renderer import render_frame
+
+    scene, name = _load_headline_scene()
+    cam = _camera_for(scene)
+    rays = WIDTH * HEIGHT * (1 + scene.lights.pos.shape[0])
+    opts = RenderOpts(reflections=False, transparency=False, textures=False)
+    target = jax.lax.stop_gradient(
+        render_frame(scene, cam, WIDTH, HEIGHT, opts))
+    params = {"tri_a": scene.tri_a, "mat_diffuse": scene.mat_diffuse}
+
+    def step(params, scene, target):
+        s = dataclasses.replace(scene, **params)
+        color = render_frame_fast_diff(s, cam, WIDTH, HEIGHT, opts)
+        return jnp.mean((color - target) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(step))
+    loss, grads = vg(params, scene, target)
+    jax_block(loss)
+    assert bool(jnp.isfinite(loss)), loss
+    dt = bench_loop(lambda: vg(params, scene, target))
+    mrays = rays / dt / 1e6
+    emit({
+        "metric": f"{name}_1024_whitted_fwd_bwd_minimal",
+        "value": round(mrays, 2),
+        "unit": "MRays/s/chip",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "config": "r3-comparable: no secondary rays, tri_a+mat grads",
+    })
+
+
 SECTIONS = {
     "fwd": section_fwd,
     "tex": section_tex,
     "paged": section_paged,
+    "bwd_min": section_bwd_min,
     "bwd": section_bwd,
 }
 
 # minimum seconds of remaining budget to ATTEMPT a section (compile cost)
-_MIN_BUDGET = {"fwd": 60, "tex": 60, "paged": 120, "bwd": 150}
+_MIN_BUDGET = {"fwd": 60, "tex": 60, "paged": 120, "bwd_min": 120,
+               "bwd": 150}
 
 
 def _drive():
     """Run each section in a fresh subprocess with retries: an ABORTed
     TPU client dies with the subprocess instead of poisoning the rest."""
     bwd_line = None
-    for name in ("fwd", "tex", "paged", "bwd"):
+    for name in ("fwd", "tex", "paged", "bwd_min", "bwd"):
         tries = 3 if name in ("fwd", "bwd") else 2
         for attempt in range(tries):
             if left() < _MIN_BUDGET[name]:

@@ -177,15 +177,16 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
     dg = jnp.where(hit, kdg * ndotd, 0.0)
     db = jnp.where(hit, kdb * ndotd, 0.0)
 
-    # hit position components
-    if isinstance(o3[0], (float, int)) or getattr(o3[0], "ndim", 1) == 0:
-        px = o3[0] + dx * dist
-        py = o3[1] + dy * dist
-        pz = o3[2] + dz * dist
-    else:
-        px = o3[0] + dx * dist
-        py = o3[1] + dy * dist
-        pz = o3[2] + dz * dist
+    # hit position components. Miss rays carry dist = BIG; pushing them
+    # through the light-distance math would overflow to inf and an
+    # inf/nan forward value under a masked-out where still poisons the
+    # VJP (0 cotangent x inf = nan — this surfaced as a non-finite
+    # camera-position gradient in the round-4 bench). Their positions
+    # are never used, so collapse them to the origin.
+    safe_dist = jnp.where(hit, dist, 0.0)
+    px = o3[0] + dx * safe_dist
+    py = o3[1] + dy * safe_dist
+    pz = o3[2] + dz * safe_dist
 
     # --- reflections (scene_inl.h:434-444) ---
     if opts.reflections and depth < opts.max_bounces:

@@ -304,7 +304,11 @@ def _drive():
     """Run each section in a fresh subprocess with retries: an ABORTed
     TPU client dies with the subprocess instead of poisoning the rest."""
     bwd_line = None
-    for name in ("fwd", "tex", "paged", "bwd_min", "bwd"):
+    # execution order puts the north-star backward row right after fwd
+    # so a tight budget can never starve it (round-3 failure mode); the
+    # bwd JSON line is still PRINTED last for the driver's last-line
+    # parse.
+    for name in ("fwd", "bwd", "bwd_min", "tex", "paged"):
         tries = 3 if name in ("fwd", "bwd") else 2
         for attempt in range(tries):
             if left() < _MIN_BUDGET[name]:

@@ -923,29 +923,37 @@ def _interval_of(v, axis):
 
 
 def _dir_bounds(dx, dy, dz):
-    """(P, R) planar dir components -> per-packet idir bounds (P, 3)."""
+    """(P, ...) planar dir components -> per-packet idir bounds (P, 3).
+
+    Reduces over every non-packet axis IN the arrays' native layout —
+    reshaping (P, 32, 128) packets to (P, 4096) first forces a lane
+    relayout copy that measured ~5 ms/Mray."""
+    ax = tuple(range(1, dx.ndim))
     ims, iMs = [], []
     for c in (dx, dy, dz):
         ic = 1.0 / (c + 1e-8)
-        lo, hi = _interval_of(ic, 1)
+        lo, hi = _interval_of(ic, ax)
         ims.append(lo)
         iMs.append(hi)
     return jnp.stack(ims, -1), jnp.stack(iMs, -1)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def _camera_mask_words(mk_boxv, camera, width: int, height: int,
-                       root_lo, root_hi):
-    """Per-packet masks for the camera kernel: replicate the in-kernel
-    raygen + t_exit bound in XLA (same formulas; intervals widened)."""
+def _camera_packet_bounds(camera, width: int, height: int,
+                          root_lo, root_hi):
+    """Per-packet interval bounds for primary rays: replicate the
+    in-kernel raygen + t_exit bound in XLA (same formulas; intervals
+    widened). Returns (im, iM, om, maxb0) with om == oM (shared origin);
+    shared by the node-mask and leaf-worklist passes."""
     tiles_x = width // TILE
     p = tiles_x * (height // TILE)
     pid = jnp.arange(p, dtype=jnp.int32)
-    k = jnp.arange(TILE * TILE, dtype=jnp.int32)
-    # any within-packet order works for bounds; raster is simplest
-    px = ((pid % tiles_x)[:, None] * TILE + (k % TILE)[None, :]).astype(
+    # any within-packet order works for bounds; raster in the packets'
+    # native (P, 32, 128) tiling (a (P, 4096) layout pays a relayout)
+    k = (jnp.arange(TILE * TILE, dtype=jnp.int32)
+         .reshape(1, RAY_SUB, RAY_LANE))
+    px = ((pid % tiles_x)[:, None, None] * TILE + (k % TILE)).astype(
         jnp.float32)
-    py = ((pid // tiles_x)[:, None] * TILE + (k // TILE)[None, :]).astype(
+    py = ((pid // tiles_x)[:, None, None] * TILE + (k // TILE)).astype(
         jnp.float32)
     x = (px + 0.5 - width * 0.5) * jnp.float32(1.0 / height)
     y = (height * 0.5 - py - 0.5) * jnp.float32(1.0 / height)
@@ -969,42 +977,62 @@ def _camera_mask_words(mk_boxv, camera, width: int, height: int,
     tn = jnp.maximum(jnp.maximum(tns[0], tns[1]), tns[2])
     tf = jnp.minimum(jnp.minimum(tfs[0], tfs[1]), tfs[2])
     t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
-    maxb0 = jnp.max(t_exit, axis=1) * 1.0002 + 1e-6
+    maxb0 = jnp.max(t_exit, axis=(1, 2)) * 1.0002 + 1e-6
+    return im, iM, om, maxb0
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _camera_mask_words(mk_boxv, camera, width: int, height: int,
+                       root_lo, root_hi):
+    """Per-packet node masks for the camera kernel."""
+    im, iM, om, maxb0 = _camera_packet_bounds(camera, width, height,
+                                              root_lo, root_hi)
     return compute_masks(mk_boxv, im, iM, om, om, maxb0)
+
+
+def _shared_packet_bounds(origin, dx, dy, dz, tm):
+    """Per-packet bounds for shared-origin any-hit wavefronts: packed
+    (P, RAY_SUB, RAY_LANE) dirs + tmax; origin f32[>=3]. Returns
+    (im, iM, om, maxb0), om == oM."""
+    p = dx.shape[0]
+    ax = tuple(range(1, dx.ndim))
+    im, iM = _dir_bounds(dx, dy, dz)
+    om = jnp.broadcast_to(origin[:3].astype(jnp.float32), (p, 3))
+    limit = jnp.where(tm >= 0.0, tm, -BIG)
+    maxb0 = jnp.max(limit, axis=ax) * 1.0002 + 1e-6
+    return im, iM, om, maxb0
 
 
 @jax.jit
 def _shared_mask_words(mk_boxv, origin, dx, dy, dz, tm):
-    """Per-packet masks for the shared-origin any-hit kernel: packed
-    (P, RAY_SUB, RAY_LANE) dirs + tmax; origin f32[>=3]."""
-    p = dx.shape[0]
-    dxf = dx.reshape(p, -1)
-    dyf = dy.reshape(p, -1)
-    dzf = dz.reshape(p, -1)
-    im, iM = _dir_bounds(dxf, dyf, dzf)
-    om = jnp.broadcast_to(origin[:3].astype(jnp.float32), (p, 3))
-    limit = jnp.where(tm.reshape(p, -1) >= 0.0, tm.reshape(p, -1), -BIG)
-    maxb0 = jnp.max(limit, axis=1) * 1.0002 + 1e-6
+    """Per-packet node masks for the shared-origin any-hit kernel."""
+    im, iM, om, maxb0 = _shared_packet_bounds(origin, dx, dy, dz, tm)
     return compute_masks(mk_boxv, im, iM, om, om, maxb0)
 
 
-@jax.jit
-def _general_mask_words(mk_boxv, ox, oy, oz, dx, dy, dz, tm):
-    """Per-packet masks for the general kernels: per-ray origins AND
-    directions (the full RayInterval, ray_group.h:293-338)."""
-    p = dx.shape[0]
-    im, iM = _dir_bounds(dx.reshape(p, -1), dy.reshape(p, -1),
-                         dz.reshape(p, -1))
+def _general_packet_bounds(ox, oy, oz, dx, dy, dz, tm):
+    """Per-packet bounds for the general kernels: per-ray origins AND
+    directions (the full RayInterval, ray_group.h:293-338). Returns
+    (im, iM, om, oM, maxb0)."""
+    ax = tuple(range(1, dx.ndim))
+    im, iM = _dir_bounds(dx, dy, dz)
     oms, oMs = [], []
     for c in (ox, oy, oz):
-        lo, hi = _interval_of(c.reshape(p, -1), 1)
+        lo, hi = _interval_of(c, ax)
         oms.append(lo)
         oMs.append(hi)
     om = jnp.stack(oms, -1)
     oM = jnp.stack(oMs, -1)
-    tmf = tm.reshape(p, -1)
-    best0 = jnp.where(tmf >= 0.0, jnp.minimum(tmf, BIG), -BIG)
-    maxb0 = jnp.max(best0, axis=1) * 1.0002 + 1e-6
+    best0 = jnp.where(tm >= 0.0, jnp.minimum(tm, BIG), -BIG)
+    maxb0 = jnp.max(best0, axis=ax) * 1.0002 + 1e-6
+    return im, iM, om, oM, maxb0
+
+
+@jax.jit
+def _general_mask_words(mk_boxv, ox, oy, oz, dx, dy, dz, tm):
+    """Per-packet node masks for the general kernels."""
+    im, iM, om, oM, maxb0 = _general_packet_bounds(ox, oy, oz, dx, dy,
+                                                   dz, tm)
     return compute_masks(mk_boxv, im, iM, om, oM, maxb0)
 
 
@@ -1073,6 +1101,135 @@ def _or_across_rays(acc):
         acc = acc | pltpu.roll(acc, s, 0)
         s //= 2
     return acc
+
+
+def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
+                      sems, lq_ref, bits_ref, qlist_ref, stats_ref,
+                      box_ref=None, lbox_ref=None):
+    """Build the shared Phase-B drain: one vector->scalar sync per chunk —
+    batched per-leaf per-quarter culls + the stale packet bound, then
+    drain surviving (leaf, quarter) pairs. Bit (i*NQ + q) of the packed
+    words = "leaf slot i has a passing ray in vreg row block q"; the
+    variable-shift encode keeps the whole pack one OR-reduction.
+
+    Leaf bboxes come from ``box_ref`` (the staged node table, read by the
+    node id in lq_ref — flat scenes, where the table cannot page out) or
+    from ``lbox_ref`` (enqueue-time copies — the paged walk). Used by both
+    the stack walk (_traverse_ival) and the drain-only worklist kernels
+    (_traverse_wl)."""
+
+    def chunk_drain(nq, maxb):
+        lim = lim_fn()
+        if _PROF in ("noslab", "nosync", "nodma"):  # ablation: no culls
+            for w in range(_BITS_WORDS):
+                bits_ref[w] = 0
+        else:
+            if _DRAIN == "leaf":  # one bit per leaf (whole-packet drain)
+                qsh = jnp.int32(0)
+            else:  # one bit per (leaf, quarter)
+                qsh = jax.lax.broadcasted_iota(
+                    jnp.int32, (RAY_SUB, RAY_LANE), 0
+                ) // QR  # quarter id per row
+            accs = [jnp.zeros((RAY_SUB, RAY_LANE), jnp.int32)
+                    for _ in range(_BITS_WORDS)]
+            for i in range(NBUF):
+                if box_ref is not None:
+                    # read the leaf bbox straight from the node table
+                    # (no enqueue-time copy)
+                    b = lq_ref[i * 3 + 2] * 6
+                    lo = (box_ref[b], box_ref[b + 1], box_ref[b + 2])
+                    hi = (box_ref[b + 3], box_ref[b + 4], box_ref[b + 5])
+                else:
+                    # leaf bbox captured at enqueue (lbox_ref) — node
+                    # tables may have paged over since
+                    lo = (lbox_ref[i * 6], lbox_ref[i * 6 + 1],
+                          lbox_ref[i * 6 + 2])
+                    hi = (lbox_ref[i * 6 + 3], lbox_ref[i * 6 + 4],
+                          lbox_ref[i * 6 + 5])
+                m = _slab_mask(o, idir, lo, hi, lim)
+                valid = (i < nq).astype(jnp.int32)
+                w = (i * NQ) // 32
+                sh = qsh + ((i * NQ) % 32)
+                accs[w] = accs[w] | jnp.where(
+                    m, jnp.left_shift(valid, sh), 0)
+            for w in range(_BITS_WORDS):
+                bits_ref[w] = jnp.max(_or_across_rays(accs[w]))
+        if _PROF in ("nosync", "nodma"):  # ablation: no vector->scalar read
+            newb = maxb
+        else:
+            newb = jnp.max(lim)
+        if stats_ref is not None:
+            stats_ref[0, 0, 4] = stats_ref[0, 0, 4] + 1
+        for i in range(NBUF):  # static slots: no dynamic VMEM addressing
+
+            @pl.when(i < nq)
+            def _(i=i):  # every started DMA must be waited (slot reuse)
+                if _PROF != "nodma":
+                    _leaf_dma(tris_hbm, tscratch, sems, i,
+                              lq_ref[i * 3]).wait()
+
+        if _DRAIN == "leaf" and not _PROF:
+            # round-1 structure: static per-leaf pl.when, whole packet
+            for i in range(NBUF):
+                bitk = jax.lax.shift_right_logical(
+                    bits_ref[(i * NQ) // 32], (i * NQ) % 32) & 1
+
+                @pl.when(bitk > 0)
+                def _(i=i):
+                    process_fn(i, lq_ref[i * 3], lq_ref[i * 3 + 1], None)
+                    if stats_ref is not None:
+                        stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + NQ
+                        stats_ref[0, 0, 3] = (
+                            stats_ref[0, 0, 3] + lq_ref[i * 3 + 1]
+                        )
+            return newb
+
+        # scalar-compact the surviving (leaf, quarter) pairs into ONE
+        # LIST PER QUARTER, then drain each quarter's list in its own
+        # dynamically-bounded loop with a STATIC quarter index — every
+        # ray-block slice inside process_fn (d_refs[q*QR:...],
+        # best_ref[q*QR:...]) then has a static sublane offset, which
+        # Mosaic turns into plain vector loads (a dynamic q measured
+        # ~750 extra cycles per drain in the round-4 QR scan).
+        # Alternatives measured earlier: fori over all NBUF*NQ pairs
+        # with pl.when inside (+4.2 ms), static NBUF x NQ unroll
+        # (+2.4 ms). Compaction costs ~200 scalar cycles/chunk and the
+        # drain bodies run exactly survivor-count times.
+        # branchless compaction: ALWAYS store slot i at the list head —
+        # the head only advances when the bit is set, so dead stores are
+        # overwritten (48 predicated regions per chunk measured as real
+        # walk-bucket time; unconditional store + add is ~4 ops each).
+        n_liv_q = []
+        for q in range(NQ):
+            n_liv = jnp.int32(0)
+            for i in range(NBUF):  # static scalar loop
+                k = i * NQ + q
+                bitk = jax.lax.shift_right_logical(
+                    bits_ref[k // 32], k % 32) & 1
+                qlist_ref[q * NBUF + n_liv] = i
+                n_liv = n_liv + bitk
+            n_liv_q.append(n_liv)
+
+        if _PROF:  # ablations: no compaction, no drain
+            return newb
+
+        for q in range(NQ):  # static quarter -> static ray-block slices
+
+            def drain_body(j, carry, q=q):
+                slot = qlist_ref[q * NBUF + j]
+                process_fn(slot, lq_ref[slot * 3], lq_ref[slot * 3 + 1], q)
+                if stats_ref is not None:
+                    stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + 1
+                    stats_ref[0, 0, 3] = (
+                        stats_ref[0, 0, 3] + lq_ref[slot * 3 + 1]
+                    )
+                return carry
+
+            jax.lax.fori_loop(0, n_liv_q[q], drain_body, 0)
+
+        return newb
+
+    return chunk_drain
 
 
 PAGE_BASE = 1 << 26  # stack ids >= PAGE_BASE are page-local (paged walk)
@@ -1385,121 +1542,12 @@ def _traverse_ival(tbl_ref, box_ref, o, idir, itest, signs, maxb0,
         )
         return sp, nq, maxb
 
-    def chunk_drain(nq, maxb):
-        """Phase B: one vector->scalar sync per chunk — batched per-leaf
-        per-quarter culls + the stale packet bound, then drain surviving
-        (leaf, quarter) pairs. Bit (i*NQ + q) of the packed words = "leaf
-        slot i has a passing ray in vreg row block q"; the variable-shift
-        encode keeps the whole pack one OR-reduction."""
-        lim = lim_fn()
-        if _PROF in ("noslab", "nosync", "nodma"):  # ablation: no culls
-            for w in range(_BITS_WORDS):
-                bits_ref[w] = 0
-        else:
-            if _DRAIN == "leaf":  # one bit per leaf (whole-packet drain)
-                qsh = jnp.int32(0)
-            else:  # one bit per (leaf, quarter)
-                qsh = jax.lax.broadcasted_iota(
-                    jnp.int32, (RAY_SUB, RAY_LANE), 0
-                ) // QR  # quarter id per row
-            accs = [jnp.zeros((RAY_SUB, RAY_LANE), jnp.int32)
-                    for _ in range(_BITS_WORDS)]
-            for i in range(NBUF):
-                if use2:
-                    # flat walk: read the leaf bbox straight from the
-                    # node table (no enqueue-time copy)
-                    b = lq_ref[i * 3 + 2] * 6
-                    lo = (box_ref[b], box_ref[b + 1], box_ref[b + 2])
-                    hi = (box_ref[b + 3], box_ref[b + 4], box_ref[b + 5])
-                else:
-                    # leaf bbox captured at enqueue (lbox_ref) — node
-                    # tables may have paged over since
-                    lo = (lbox_ref[i * 6], lbox_ref[i * 6 + 1],
-                          lbox_ref[i * 6 + 2])
-                    hi = (lbox_ref[i * 6 + 3], lbox_ref[i * 6 + 4],
-                          lbox_ref[i * 6 + 5])
-                m = _slab_mask(o, idir, lo, hi, lim)
-                valid = (i < nq).astype(jnp.int32)
-                w = (i * NQ) // 32
-                sh = qsh + ((i * NQ) % 32)
-                accs[w] = accs[w] | jnp.where(
-                    m, jnp.left_shift(valid, sh), 0)
-            for w in range(_BITS_WORDS):
-                bits_ref[w] = jnp.max(_or_across_rays(accs[w]))
-        if _PROF in ("nosync", "nodma"):  # ablation: no vector->scalar read
-            newb = maxb
-        else:
-            newb = jnp.max(lim)
-        if stats_ref is not None:
-            stats_ref[0, 0, 4] = stats_ref[0, 0, 4] + 1
-        for i in range(NBUF):  # static slots: no dynamic VMEM addressing
-
-            @pl.when(i < nq)
-            def _(i=i):  # every started DMA must be waited (slot reuse)
-                if _PROF != "nodma":
-                    _leaf_dma(tris_hbm, tscratch, sems, i,
-                              lq_ref[i * 3]).wait()
-
-        if _DRAIN == "leaf" and not _PROF:
-            # round-1 structure: static per-leaf pl.when, whole packet
-            for i in range(NBUF):
-                bitk = jax.lax.shift_right_logical(
-                    bits_ref[(i * NQ) // 32], (i * NQ) % 32) & 1
-
-                @pl.when(bitk > 0)
-                def _(i=i):
-                    process_fn(i, lq_ref[i * 3], lq_ref[i * 3 + 1], None)
-                    if stats_ref is not None:
-                        stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + NQ
-                        stats_ref[0, 0, 3] = (
-                            stats_ref[0, 0, 3] + lq_ref[i * 3 + 1]
-                        )
-            return newb
-
-        # scalar-compact the surviving (leaf, quarter) pairs into ONE
-        # LIST PER QUARTER, then drain each quarter's list in its own
-        # dynamically-bounded loop with a STATIC quarter index — every
-        # ray-block slice inside process_fn (d_refs[q*QR:...],
-        # best_ref[q*QR:...]) then has a static sublane offset, which
-        # Mosaic turns into plain vector loads (a dynamic q measured
-        # ~750 extra cycles per drain in the round-4 QR scan).
-        # Alternatives measured earlier: fori over all NBUF*NQ pairs
-        # with pl.when inside (+4.2 ms), static NBUF x NQ unroll
-        # (+2.4 ms). Compaction costs ~200 scalar cycles/chunk and the
-        # drain bodies run exactly survivor-count times.
-        # branchless compaction: ALWAYS store slot i at the list head —
-        # the head only advances when the bit is set, so dead stores are
-        # overwritten (48 predicated regions per chunk measured as real
-        # walk-bucket time; unconditional store + add is ~4 ops each).
-        n_liv_q = []
-        for q in range(NQ):
-            n_liv = jnp.int32(0)
-            for i in range(NBUF):  # static scalar loop
-                k = i * NQ + q
-                bitk = jax.lax.shift_right_logical(
-                    bits_ref[k // 32], k % 32) & 1
-                qlist_ref[q * NBUF + n_liv] = i
-                n_liv = n_liv + bitk
-            n_liv_q.append(n_liv)
-
-        if _PROF:  # ablations: no compaction, no drain
-            return newb
-
-        for q in range(NQ):  # static quarter -> static ray-block slices
-
-            def drain_body(j, carry, q=q):
-                slot = qlist_ref[q * NBUF + j]
-                process_fn(slot, lq_ref[slot * 3], lq_ref[slot * 3 + 1], q)
-                if stats_ref is not None:
-                    stats_ref[0, 0, 2] = stats_ref[0, 0, 2] + 1
-                    stats_ref[0, 0, 3] = (
-                        stats_ref[0, 0, 3] + lq_ref[slot * 3 + 1]
-                    )
-                return carry
-
-            jax.lax.fori_loop(0, n_liv_q[q], drain_body, 0)
-
-        return newb
+    chunk_drain = _make_chunk_drain(
+        o, idir, lim_fn, process_fn, tris_hbm, tscratch, sems,
+        lq_ref, bits_ref, qlist_ref, stats_ref,
+        box_ref=box_ref if use2 else None,
+        lbox_ref=None if use2 else lbox_ref,
+    )
 
     # v2 needs a root that is an inner node (leaf children are reached
     # through their parent); single-node scenes keep the v1 walk. The
@@ -2384,6 +2432,787 @@ def _run_shadow_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
 
 
 # ---------------------------------------------------------------------------
+# Drain-only worklist traversal (round 5)
+#
+# The round-4 ablations put the scalar stack walk at ~59% of the forward
+# frame (~165 cycles per pop, SMEM-latency-bound) while the counters show
+# it enqueues only ~64 leaves per packet on feline 1024^2. The walk is
+# pure leaf DISCOVERY: with a BVH, a leaf's own conservative interval
+# verdict implies every ancestor's (child boxes are contained in parent
+# boxes and the test is monotone in the box), so the dense XLA pre-pass
+# over LEAVES alone already knows the exact set of leaves the walk would
+# enqueue. These kernels therefore never walk: compute_leaf_words
+# interval-tests every leaf per packet on the VPU, bit-packs the verdicts
+# into K near-to-far DISTANCE BANDS (plus per-band nonzero word ranges
+# and band floor distances), and the kernel's scalar core just scans the
+# bit words (ctz via clz) and feeds the same leaf DMA ring + chunk drain
+# as the walk did. Front-to-back ordering — the only thing the stack
+# order provided — survives as the band order plus the band-floor early
+# exit (skip band b once max(lim) <= blo[b], exact because bands are
+# assigned by comparing tn against those same floor values).
+#
+# The reference analogue: this is RayInterval packet culling
+# (ray_group.h:293-338, bounding_box.cpp:208-236) hoisted out of the
+# per-node recursion into one dense data-parallel pass — the TPU-shaped
+# version of "test the packet against every node", which the scalar core
+# could never afford but the VPU does in ~1 ms for the whole frame.
+# ---------------------------------------------------------------------------
+
+_WL = os.environ.get("SNAIL_WL", "1") != "0"
+WL_BANDS = int(os.environ.get("SNAIL_WL_BANDS", 8))  # closest-hit bands
+
+
+def pack_leaf_tables(bvh):
+    """Host-side leaf tables for the worklist kernels.
+
+    Returns (lf_boxv f32[6, NVL, 8, 128], lnode i32[Lp], lfc i32[Lp],
+    n_leaf) or None when the scene doesn't fit the packing
+    (first-tri >= 2^24).
+
+    lf_boxv: planar leaf boxes in leaf-index order (leaves sorted by node
+    id = BVH DFS order, so spatially-adjacent leaves keep adjacent bits —
+    the packed words then cluster and the scalar scan's summary skip is
+    effective; padding slots never pass). Bit (word w, pos j) of the
+    packed words is leaf index w*32+j, indexing lnode (node id — chunk
+    culls read the staged node box table by it) and lfc
+    (first<<7 | count) directly."""
+    leaf = np.where(bvh.count > 0)[0]
+    first = bvh.child[leaf].astype(np.int64)
+    cnt = bvh.count[leaf].astype(np.int64)
+    if len(leaf) == 0 or first.max() >= (1 << 24) or cnt.max() >= 128:
+        return None
+    L = len(leaf)
+    nv = max(1, -(-L // 1024))
+    lp = nv * 1024
+    box = np.zeros((lp, 6), np.float32)
+    box[:L, 0:3] = bvh.node_lo[leaf]
+    box[:L, 3:6] = bvh.node_hi[leaf]
+    box[L:, 0:3] = 1e30
+    box[L:, 3:6] = -1e30
+    lf_boxv = np.ascontiguousarray(box.T.reshape(6, nv, 8, 128))
+    lnode = np.zeros(lp, np.int32)
+    lfc = np.zeros(lp, np.int32)
+    lnode[:L] = leaf
+    lfc[:L] = (first << 7) | cnt
+    return lf_boxv, lnode, lfc, L
+
+
+@partial(jax.jit, static_argnames=("k_bands", "n_leaf"))
+def compute_leaf_words(lf_boxv, im, iM, om, oM, maxb0, k_bands: int,
+                       n_leaf: int):
+    """Dense per-(packet, leaf) interval test + near-to-far band packing.
+
+    Same conservative 8-corner interval test as compute_masks, but over
+    LEAVES only, and each passing leaf lands in one of ``k_bands``
+    distance bands by its conservative entry distance tn. Returns
+      words (P, k_bands*8, lw) i32 — band b's bit words in rows
+            [b*8, b*8+8); bit (w, j) = leaf index w*32+j (leaf order,
+            so the DFS spatial clustering survives into the words);
+      blo   (P, 1, k_bands) f32 — band floor distances (every leaf in
+            band b has tn >= blo[b], byte-exact: bands are assigned by
+            comparing tn against these same values);
+      smm   (P, 1, k_bands*NVL) i32 — per-band summary words: bit j of
+            summary s = "word s*32+j is nonzero", so the scalar scan
+            jumps straight to populated words.
+    """
+    nv = lf_boxv.shape[1]
+    nw = nv * 32
+    lw = max(128, _next_pow2(-(-nw // 8)))
+    lane32 = jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 2) & 31
+    # padding slots must NEVER pass: the inverted-box convention is not
+    # enough — with a direction interval spanning zero the corner
+    # products of (+-1e30 - o) straddle +-inf and the conservative test
+    # passes (568 phantom leaves per packet measured before this mask)
+    li = (jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 0) * 1024
+          + jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 1) * 128
+          + jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 2))
+    valid = li < n_leaf
+
+    def _or_reduce(x, axis):
+        # the packed bits are disjoint powers of two within each reduced
+        # group, so an integer SUM is the same OR and lowers to the
+        # fast native reduction
+        return jnp.sum(x, axis=axis)
+
+    def one(args):
+        imp, iMp, omp, oMp, mb = args
+        tn = jnp.zeros((nv, 8, 128), jnp.float32)
+        tf = jnp.full((nv, 8, 128), mb, jnp.float32)
+        for k in range(3):
+            a1 = lf_boxv[k] - omp[k]
+            a2 = lf_boxv[k] - oMp[k]
+            c1 = lf_boxv[3 + k] - omp[k]
+            c2 = lf_boxv[3 + k] - oMp[k]
+            lo_min = jnp.minimum(jnp.minimum(a1 * imp[k], a1 * iMp[k]),
+                                 jnp.minimum(a2 * imp[k], a2 * iMp[k]))
+            lo_max = jnp.maximum(jnp.maximum(a1 * imp[k], a1 * iMp[k]),
+                                 jnp.maximum(a2 * imp[k], a2 * iMp[k]))
+            hi_min = jnp.minimum(jnp.minimum(c1 * imp[k], c1 * iMp[k]),
+                                 jnp.minimum(c2 * imp[k], c2 * iMp[k]))
+            hi_max = jnp.maximum(jnp.maximum(c1 * imp[k], c1 * iMp[k]),
+                                 jnp.maximum(c2 * imp[k], c2 * iMp[k]))
+            tn = jnp.maximum(tn, jnp.minimum(lo_min, hi_min))
+            tf = jnp.minimum(tf, jnp.maximum(lo_max, hi_max))
+        ok = (tn <= tf) & (tf > 0.0) & valid
+        t0 = jnp.minimum(jnp.min(jnp.where(ok, tn, BIG)), mb)
+        span = jnp.maximum(mb - t0, 1e-6)
+        if k_bands > 1:
+            # histogram-EQUALIZED band edges: linear spacing wastes the
+            # front-to-back ordering (for primary rays most passing
+            # leaves sit near the camera, all in band 0); equal-count
+            # bands keep ~L/K leaves per band so the per-chunk bound
+            # refresh prunes like the stack walk's ordered descent did
+            nbins = 32
+            bidx = jnp.clip(((tn - t0) * (nbins / span)).astype(jnp.int32),
+                            0, nbins - 1)
+            hist = jnp.stack([jnp.sum(((bidx == j) & ok).astype(jnp.int32))
+                              for j in range(nbins)])
+            c = jnp.cumsum(hist)
+            total = jnp.maximum(c[nbins - 1], 1)
+            edges = []
+            for b in range(1, k_bands):
+                tgt = (total * b + k_bands - 1) // k_bands
+                e = jnp.sum((c < tgt).astype(jnp.int32))
+                edges.append(t0 + e.astype(jnp.float32) * (span / nbins))
+            los = jnp.stack([t0] + edges)
+        else:
+            los = jnp.full((1,), t0)
+        band = jnp.zeros((nv, 8, 128), jnp.int32)
+        for b in range(1, k_bands):
+            band = band + (tn >= los[b]).astype(jnp.int32)
+        rows = []
+        sums = []
+        blos = []
+        sh32 = jax.lax.broadcasted_iota(jnp.int32, (nv, 32), 1)
+        for b in range(k_bands):
+            okb = (ok & (band == b)).astype(jnp.int32)
+            # leaf i at [blk, sb, lane] -> bit (lane&31) of word
+            # i>>5 = blk*32 + sb*4 + (lane>>5): lane-group OR keeps
+            # word order == leaf order
+            w = jnp.left_shift(okb, lane32).reshape(nv, 8, 4, 32)
+            w2 = _or_reduce(w, 3).reshape(-1)  # (nw,)
+            nzw = (w2 != 0).astype(jnp.int32).reshape(nv, 32)
+            s = _or_reduce(jnp.left_shift(nzw, sh32), 1)  # (nv,)
+            sums.append(s)
+            # empty band -> floor BIG, so the kernel's blo >= bound
+            # skip fires without even scanning the summary words
+            blos.append(jnp.where(jnp.any(s != 0), los[b], BIG))
+            w2 = jnp.pad(w2, (0, 8 * lw - nw))
+            rows.append(w2.reshape(8, lw))
+        return (jnp.concatenate(rows, axis=0), jnp.stack(blos),
+                jnp.concatenate(sums))
+
+    # one fused vmap over packets: the work is tiny (~1 Mflop/frame)
+    # and lax.map's sequential 32-batches cost more in dispatch than
+    # the math; full-batch temporaries are only ~5 MB per plane
+    words, blo, smm = jax.vmap(one)((im, iM, om, oM, maxb0))
+    return words, blo[:, None, :], smm[:, None, :]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "k_bands",
+                                   "n_leaf"))
+def _camera_wl_words(lf_boxv, camera, width: int, height: int,
+                     root_lo, root_hi, k_bands: int, n_leaf: int):
+    im, iM, om, maxb0 = _camera_packet_bounds(camera, width, height,
+                                              root_lo, root_hi)
+    return compute_leaf_words(lf_boxv, im, iM, om, om, maxb0, k_bands,
+                              n_leaf)
+
+
+@partial(jax.jit, static_argnames=("k_bands", "n_leaf"))
+def _shared_wl_words(lf_boxv, origin, dx, dy, dz, tm, k_bands: int,
+                     n_leaf: int):
+    im, iM, om, maxb0 = _shared_packet_bounds(origin, dx, dy, dz, tm)
+    return compute_leaf_words(lf_boxv, im, iM, om, om, maxb0, k_bands,
+                              n_leaf)
+
+
+@partial(jax.jit, static_argnames=("k_bands", "n_leaf"))
+def _general_wl_words(lf_boxv, ox, oy, oz, dx, dy, dz, tm, k_bands: int,
+                      n_leaf: int):
+    im, iM, om, oM, maxb0 = _general_packet_bounds(ox, oy, oz, dx, dy,
+                                                   dz, tm)
+    return compute_leaf_words(lf_boxv, im, iM, om, oM, maxb0, k_bands,
+                              n_leaf)
+
+
+def _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
+                     ssem):
+    """Fill the persistent leaf/box table scratches ONCE, at grid step 0
+    (see _stage_tables for why)."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        c1 = pltpu.make_async_copy(box_hbm, box_s, ssem.at[0])
+        c2 = pltpu.make_async_copy(lnode_hbm, lnode_s, ssem.at[1])
+        c3 = pltpu.make_async_copy(lfc_hbm, lfc_s, ssem.at[2])
+        c1.start()
+        c2.start()
+        c3.start()
+        c1.wait()
+        c2.wait()
+        c3.wait()
+
+
+def _load_wl(wlw_hbm, wl_s, ssem):
+    """DMA this packet's leaf-word rows (compute_leaf_words output) into
+    SMEM."""
+    cp = pltpu.make_async_copy(wlw_hbm.at[pl.program_id(0)], wl_s,
+                               ssem.at[3])
+    cp.start()
+    cp.wait()
+
+
+def _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
+                 o, idir, maxb0, lim_fn, process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 stats_ref, *, k_bands: int):
+    """Drain-only traversal: scan per-band leaf bit words (the VPU
+    pre-pass already did every interval test) and feed the leaf DMA ring
+    + chunk drain. No stack, no node meta, no per-pop SMEM chains — the
+    scalar core's serial work is one summary-word hop per populated
+    word plus ~10 ops per discovered leaf.
+
+    Bands run as a RUNTIME fori_loop so the (large) chunk-drain body is
+    instantiated exactly once — a static per-band unroll measured ~3x
+    slower (four drain copies thrash the scalar core's i-cache).
+    ``wrg_ref`` holds the per-band summary words (bit j of summary s =
+    "word s*32+j nonzero"); the scan is a flat 3-way state machine
+    (pop leaf / hop to next populated word / next summary word) so the
+    serial SMEM chain is proportional to POPULATED words, not the word
+    range. ``stats_ref`` counters keep their _traverse_ival meaning
+    ([0] here counts summary+word reads instead of nodes popped)."""
+    lw = wl_ref.shape[1]
+    sh = lw.bit_length() - 1
+    ns = wrg_ref.shape[2] // k_bands  # summary words per band (= NVL)
+    chunk_drain = _make_chunk_drain(
+        o, idir, lim_fn, process_fn, tris_hbm, tscratch, sems,
+        lq_ref, bits_ref, qlist_ref, stats_ref, box_ref=box_ref)
+
+    # garbage node ids in never-written queue slots would be OOB box
+    # reads in the chunk culls (the round-4 fault mode) — zero once
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for i in range(NBUF):
+            lq_ref[i * 3 + 2] = 0
+
+    if stats_ref is not None:
+        for i in range(8):
+            stats_ref[0, 0, i] = 0
+
+    def _enq(nq, first, count, node):
+        if _PROF != "nodma":
+            _leaf_dma(tris_hbm, tscratch, sems, nq, first).start()
+        lq_ref[nq * 3] = first
+        lq_ref[nq * 3 + 1] = count
+        lq_ref[nq * 3 + 2] = node
+        if stats_ref is not None:
+            stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
+
+    def read_word(b, wj):
+        return wl_ref[(b << 3) + jax.lax.shift_right_logical(wj, sh),
+                      wj & (lw - 1)]
+
+    def read_sum(b, sj):
+        return wrg_ref[0, 0, b * ns + sj]
+
+    # One continuous scan stream across all bands: the leaf queue CARRIES
+    # over band boundaries and drains only when the ring is full (a
+    # per-band flush measured ~20% slower — every drain pays all NBUF
+    # slab slots + one sync regardless of fill). Scan state
+    # (b, sj, sw, wj, word): pop a leaf bit, else hop to the next
+    # populated word, else the next summary word, else enter the next
+    # band (applying the band-floor skip with the bound of the LAST
+    # drain — stale is conservative).
+    def scan_body(c):
+        b, sj, sw, wj, word, nq, mb = c
+
+        def pop(c):
+            b, sj, sw, wj, word, nq, mb = c
+            low = word & (-word)
+            t = wj * 32 + (31 - jax.lax.clz(low))
+            fc = lfc_ref[t]
+            _enq(nq, jax.lax.shift_right_logical(fc, 7),
+                 fc & 0x7F, lnode_ref[t])
+            return b, sj, sw, wj, word & (word - 1), nq + 1, mb
+
+        def advance(c):
+            b, sj, sw, wj, word, nq, mb = c
+            if stats_ref is not None:
+                stats_ref[0, 0, 0] = stats_ref[0, 0, 0] + 1
+
+            def from_sw(c):
+                b, sj, sw, wj, word, nq, mb = c
+                low = sw & (-sw)
+                wj = sj * 32 + (31 - jax.lax.clz(low))
+                return (b, sj, sw & (sw - 1), wj, read_word(b, wj),
+                        nq, mb)
+
+            def from_sj(c):
+                b, sj, sw, wj, word, nq, mb = c
+                sj = sj + 1
+                return b, sj, read_sum(b, sj), wj, word, nq, mb
+
+            def next_band(c):
+                b, sj, sw, wj, word, nq, mb = c
+                b = b + 1
+                bc = jnp.minimum(b, k_bands - 1)
+                # every leaf in band b has tn >= blo[b] (bands are
+                # assigned by comparing against these exact values;
+                # empty bands carry blo = BIG): skip once the packet
+                # bound is at or below the floor
+                skip = (b >= k_bands) | (blo_ref[0, 0, bc] >= mb)
+                sj = jnp.where(skip, ns - 1, 0)
+                sw = jnp.where(skip, 0, read_sum(bc, 0))
+                return b, sj, sw, wj, word, nq, mb
+
+            return jax.lax.cond(
+                sw != 0, from_sw,
+                lambda c: jax.lax.cond(c[1] + 1 < ns, from_sj,
+                                       next_band, c),
+                c)
+
+        return jax.lax.cond(word != 0, pop, advance, c)
+
+    def outer(carry):
+        b, sj, sw, wj, word, mb = carry
+        b, sj, sw, wj, word, nq, _ = jax.lax.while_loop(
+            lambda c: (c[5] < NBUF) & (c[0] < k_bands),
+            scan_body, (b, sj, sw, wj, word, 0, mb))
+        return b, sj, sw, wj, word, chunk_drain(nq, mb)
+
+    jax.lax.while_loop(
+        lambda c: (c[0] < k_bands) & (c[5] > 0.0),
+        outer,
+        (jnp.int32(-1), jnp.int32(ns - 1), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0), maxb0))
+
+
+def _camera_wl_impl(box_ref, lnode_ref, lfc_ref, cam_ref, wl_ref,
+                    blo_ref, wrg_ref, tris_hbm,
+                    dist_ref, u_ref, v_ref, tri_out,
+                    dx_ref, dy_ref, dz_ref,
+                    best_ref, bu_ref, bv_ref, tri_ref,
+                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
+                    stats_ref, *, k_bands: int):
+    """Primary rays: camera-fused raygen + drain-only worklist traversal
+    (cam layout as _camera_kernel, f32[16])."""
+    pid = pl.program_id(0)
+    tiles_x = cam_ref[15].astype(jnp.int32)
+    tx = pid % tiles_x
+    ty = pid // tiles_x
+
+    px, py = _pixel_xy(tx, ty)
+    x = (px + 0.5 - cam_ref[12]) * cam_ref[14]
+    y = (cam_ref[13] - py - 0.5) * cam_ref[14]
+
+    dx = cam_ref[0] * x + cam_ref[3] * y + cam_ref[6]
+    dy = cam_ref[1] * x + cam_ref[4] * y + cam_ref[7]
+    dz = cam_ref[2] * x + cam_ref[5] * y + cam_ref[8]
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx = dx * inv_len
+    dy = dy * inv_len
+    dz = dz * inv_len
+
+    o = (cam_ref[9], cam_ref[10], cam_ref[11])
+    d = (dx, dy, dz)
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+
+    # per-ray working bound = root-box exit distance (misses stop
+    # holding the packet bound at BIG); hits tracked via tri >= 0
+    rlo, rhi = _box(box_ref, 0)
+    t1 = tuple((rlo[k] - o[k]) * idir[k] for k in range(3))
+    t2 = tuple((rhi[k] - o[k]) * idir[k] for k in range(3))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1[0], t2[0]), jnp.maximum(t1[1], t2[1])),
+        jnp.maximum(t1[2], t2[2]),
+    )
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1[0], t2[0]), jnp.minimum(t1[1], t2[1])),
+        jnp.minimum(t1[2], t2[2]),
+    )
+    t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
+
+    best_ref[:, :] = t_exit
+    bu_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
+    bv_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
+    tri_ref[:, :] = jnp.full((RAY_SUB, RAY_LANE), -1, jnp.int32)
+
+    dx_ref[0] = dx
+    dy_ref[0] = dy
+    dz_ref[0] = dz
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+
+    maxb0 = jnp.max(t_exit)
+    lim_fn, process_fn = _closest_ival_drain(
+        d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
+    _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
+                 o, idir, maxb0, lim_fn, process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 stats_ref, k_bands=k_bands)
+
+    dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
+    u_ref[0] = bu_ref[:, :]
+    v_ref[0] = bv_ref[:, :]
+    tri_out[0] = tri_ref[:, :]
+
+
+def _camera_wl_kernel(box_hbm, lnode_hbm, lfc_hbm, cam_ref, wlw_hbm,
+                      blo_ref, wrg_ref, tris_hbm,
+                      dist_ref, u_ref, v_ref, tri_out,
+                      dx_ref, dy_ref, dz_ref,
+                      best_ref, bu_ref, bv_ref, tri_ref,
+                      tscratch, lq_ref, bits_ref, qlist_ref,
+                      box_s, lnode_s, lfc_s, wl_s, sems, ssem,
+                      *, k_bands: int):
+    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
+                     ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    _camera_wl_impl(box_s, lnode_s, lfc_s, cam_ref, wl_s, blo_ref,
+                    wrg_ref, tris_hbm,
+                    dist_ref, u_ref, v_ref, tri_out,
+                    dx_ref, dy_ref, dz_ref,
+                    best_ref, bu_ref, bv_ref, tri_ref,
+                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
+                    None, k_bands=k_bands)
+
+
+def _camera_wl_kernel_stats(box_hbm, lnode_hbm, lfc_hbm, cam_ref, wlw_hbm,
+                            blo_ref, wrg_ref, tris_hbm,
+                            dist_ref, u_ref, v_ref, tri_out,
+                            dx_ref, dy_ref, dz_ref, st_ref,
+                            best_ref, bu_ref, bv_ref, tri_ref,
+                            tscratch, lq_ref, bits_ref, qlist_ref,
+                            box_s, lnode_s, lfc_s, wl_s, sems,
+                            ssem, *, k_bands: int):
+    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
+                     ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    _camera_wl_impl(box_s, lnode_s, lfc_s, cam_ref, wl_s, blo_ref,
+                    wrg_ref, tris_hbm,
+                    dist_ref, u_ref, v_ref, tri_out,
+                    dx_ref, dy_ref, dz_ref,
+                    best_ref, bu_ref, bv_ref, tri_ref,
+                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
+                    st_ref, k_bands=k_bands)
+
+
+def _shadow_wl_impl(box_ref, lnode_ref, lfc_ref, orig_ref, wl_ref,
+                    blo_ref, wrg_ref,
+                    dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                    out_ref, blocked_ref,
+                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
+                    stats_ref, *, k_bands: int):
+    """Shadow any-hit from the shared light origin, drain-only."""
+    o = (orig_ref[0], orig_ref[1], orig_ref[2])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+
+    active = tmax >= 0.0
+    blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
+    limit = jnp.where(active, tmax, -BIG)
+    maxb0 = jnp.max(limit)
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+    lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
+                                            tscratch, blocked_ref)
+    _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
+                 o, idir, maxb0, lim_fn, process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 stats_ref, k_bands=k_bands)
+    out_ref[0] = blocked_ref[:, :]
+
+
+def _shadow_wl_kernel(box_hbm, lnode_hbm, lfc_hbm, orig_ref, wlw_hbm,
+                      blo_ref, wrg_ref,
+                      dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                      out_ref, blocked_ref,
+                      tscratch, lq_ref, bits_ref, qlist_ref,
+                      box_s, lnode_s, lfc_s, wl_s, sems, ssem,
+                      *, k_bands: int):
+    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
+                     ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    _shadow_wl_impl(box_s, lnode_s, lfc_s, orig_ref, wl_s, blo_ref,
+                    wrg_ref, dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                    out_ref, blocked_ref,
+                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
+                    None, k_bands=k_bands)
+
+
+def _shadow_wl_kernel_stats(box_hbm, lnode_hbm, lfc_hbm, orig_ref,
+                            wlw_hbm, blo_ref, wrg_ref,
+                            dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                            out_ref, st_ref, blocked_ref,
+                            tscratch, lq_ref, bits_ref, qlist_ref,
+                            box_s, lnode_s, lfc_s, wl_s, sems,
+                            ssem, *, k_bands: int):
+    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
+                     ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    _shadow_wl_impl(box_s, lnode_s, lfc_s, orig_ref, wl_s, blo_ref,
+                    wrg_ref, dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                    out_ref, blocked_ref,
+                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
+                    st_ref, k_bands=k_bands)
+
+
+def _closest_wl_kernel_g(box_hbm, lnode_hbm, lfc_hbm, wlw_hbm,
+                         blo_ref, wrg_ref,
+                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                         tm_ref, tris_hbm,
+                         dist_ref, u_ref, v_ref, tri_out,
+                         best_ref, bu_ref, bv_ref, tri_ref,
+                         tscratch, lq_ref, bits_ref, qlist_ref,
+                         box_s, lnode_s, lfc_s, wl_s, sems, ssem,
+                         *, k_bands: int):
+    """General per-ray-origin closest hit, drain-only (bounce rays)."""
+    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
+                     ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    o = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+
+    active = tmax >= 0.0
+    best_ref[:, :] = jnp.where(active, jnp.minimum(tmax, BIG), -BIG)
+    bu_ref[:, :] = jnp.zeros_like(tmax)
+    bv_ref[:, :] = jnp.zeros_like(tmax)
+    tri_ref[:, :] = jnp.full(tmax.shape, -1, jnp.int32)
+    maxb0 = jnp.max(best_ref[:, :])
+
+    o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+    lim_fn, process_fn = _closest_ival_drain_g(
+        o_refs, d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
+    _traverse_wl(box_s, lnode_s, lfc_s, wl_s, blo_ref, wrg_ref,
+                 o, idir, maxb0, lim_fn, process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 None, k_bands=k_bands)
+
+    hit = tri_ref[:, :] >= 0
+    dist_ref[0] = jnp.where(hit, best_ref[:, :],
+                            jnp.where(active, BIG, -BIG))
+    u_ref[0] = bu_ref[:, :]
+    v_ref[0] = bv_ref[:, :]
+    tri_out[0] = jnp.maximum(tri_ref[:, :], 0)
+
+
+def _shadow_wl_kernel_g(box_hbm, lnode_hbm, lfc_hbm, wlw_hbm,
+                        blo_ref, wrg_ref,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tm_ref, tris_hbm,
+                        out_ref, blocked_ref,
+                        tscratch, lq_ref, bits_ref, qlist_ref,
+                        box_s, lnode_s, lfc_s, wl_s, sems, ssem,
+                        *, k_bands: int):
+    """General per-ray-origin any-hit, drain-only."""
+    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
+                     ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    o = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+
+    active = tmax >= 0.0
+    blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
+    limit = jnp.where(active, tmax, -BIG)
+    maxb0 = jnp.max(limit)
+
+    o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+    lim_fn, process_fn = _shadow_ival_drain_g(
+        o_refs, d_refs, tm_ref, limit, tscratch, blocked_ref)
+    _traverse_wl(box_s, lnode_s, lfc_s, wl_s, blo_ref, wrg_ref,
+                 o, idir, maxb0, lim_fn, process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 None, k_bands=k_bands)
+    out_ref[0] = blocked_ref[:, :]
+
+
+def _wl_scratches(box, lnode, lfc, wlw):
+    """Scratches shared by every worklist kernel (after the per-kernel
+    VMEM ray blocks): leaf DMA ring, queue, cull bits, survivor list,
+    staged tables, per-packet word rows, the cross-band bound, and the
+    DMA semaphores."""
+    return [
+        pltpu.VMEM((NBUF, IVAL_LEAF, TRI_ROW), jnp.float32),  # leaf ring
+        pltpu.SMEM((NBUF * 3,), jnp.int32),  # leaf queue
+        pltpu.SMEM((_BITS_WORDS,), jnp.int32),  # (leaf, quarter) bits
+        pltpu.SMEM((NBUF * NQ,), jnp.int32),  # compacted survivors
+        pltpu.SMEM((box.size,), jnp.float32),  # staged node boxes
+        pltpu.SMEM((lnode.size,), jnp.int32),  # staged leaf->node
+        pltpu.SMEM((lfc.size,), jnp.int32),  # staged first<<7|count
+        pltpu.SMEM((wlw.shape[1], wlw.shape[2]), jnp.int32),  # word rows
+        pltpu.SemaphoreType.DMA((NBUF,)),
+        pltpu.SemaphoreType.DMA((4,)),  # 3 stage + 1 word-row DMA
+    ]
+
+
+def _blo_spec(k_bands):
+    return pl.BlockSpec((1, 1, k_bands), lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def _wrg_spec(n):
+    """Per-packet summary-word rows (1, 1, k_bands*NVL)."""
+    return pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+@partial(jax.jit, static_argnames=("p", "k_bands"))
+def _run_camera_wl(box, lnode, lfc, cam, tris, wlw, blo, wrg, p,
+                   k_bands):
+    return pl.pallas_call(
+        partial(_camera_wl_kernel, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
+        + [_smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+           _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
+           pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 7,
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _wl_scratches(box, lnode, lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(box, lnode, lfc, cam, wlw, blo, wrg, tris)
+
+
+@partial(jax.jit, static_argnames=("p", "k_bands"))
+def _run_camera_wl_stats(box, lnode, lfc, cam, tris, wlw, blo, wrg, p,
+                         k_bands):
+    return pl.pallas_call(
+        partial(_camera_wl_kernel_stats, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
+        + [_smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+           _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
+           pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 7 + [_stats_spec()],
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, 1, 8), jnp.int32)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _wl_scratches(box, lnode, lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(box, lnode, lfc, cam, wlw, blo, wrg, tris)
+
+
+@partial(jax.jit, static_argnames=("k_bands",))
+def _run_shadow_wl(box, lnode, lfc, orig, dx, dy, dz, tm, tris, wlw,
+                   blo, wrg, k_bands):
+    p = dx.shape[0]
+    return pl.pallas_call(
+        partial(_shadow_wl_kernel, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
+        + [_smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+           _blo_spec(k_bands), _wrg_spec(wrg.shape[2])]
+        + [_blk()] * 4
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _wl_scratches(box, lnode, lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(box, lnode, lfc, orig, wlw, blo, wrg, dx, dy, dz, tm, tris)
+
+
+@partial(jax.jit, static_argnames=("k_bands",))
+def _run_shadow_wl_stats(box, lnode, lfc, orig, dx, dy, dz, tm, tris,
+                         wlw, blo, wrg, k_bands):
+    p = dx.shape[0]
+    return pl.pallas_call(
+        partial(_shadow_wl_kernel_stats, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
+        + [_smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+           _blo_spec(k_bands), _wrg_spec(wrg.shape[2])]
+        + [_blk()] * 4
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk(), _stats_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((p, 1, 8), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _wl_scratches(box, lnode, lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(box, lnode, lfc, orig, wlw, blo, wrg, dx, dy, dz, tm, tris)
+
+
+@partial(jax.jit, static_argnames=("k_bands",))
+def _run_closest_wl_g(box, lnode, lfc, ox, oy, oz, dx, dy, dz, tm, tris,
+                      wlw, blo, wrg, k_bands):
+    p = ox.shape[0]
+    return pl.pallas_call(
+        partial(_closest_wl_kernel_g, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4
+        + [_blo_spec(k_bands), _wrg_spec(wrg.shape[2])]
+        + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 4,
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _wl_scratches(box, lnode, lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(box, lnode, lfc, wlw, blo, wrg, ox, oy, oz, dx, dy, dz, tm, tris)
+
+
+@partial(jax.jit, static_argnames=("k_bands",))
+def _run_shadow_wl_g(box, lnode, lfc, ox, oy, oz, dx, dy, dz, tm, tris,
+                     wlw, blo, wrg, k_bands):
+    p = ox.shape[0]
+    return pl.pallas_call(
+        partial(_shadow_wl_kernel_g, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4
+        + [_blo_spec(k_bands), _wrg_spec(wrg.shape[2])]
+        + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _wl_scratches(box, lnode, lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(box, lnode, lfc, wlw, blo, wrg, ox, oy, oz, dx, dy, dz, tm, tris)
+
+
+def _wl_available(scene) -> bool:
+    return (_WL and getattr(scene, "wl_lfc", None) is not None
+            and getattr(scene, "pg_meta", None) is None
+            and scene.leaf_max <= IVAL_LEAF)
+
+
+# ---------------------------------------------------------------------------
 # Host wrappers
 # ---------------------------------------------------------------------------
 
@@ -2477,6 +3306,19 @@ def camera_trace(scene, camera, width: int, height: int):
     p = tiles_x * (height // TILE)
     cam = _cam_vec(camera, width, height, tiles_x)
 
+    if _wl_available(scene):
+        # drain-only worklist kernels: the XLA leaf pass replaces both
+        # the node-mask pass and the in-kernel walk
+        wlw, blo, wrg = _camera_wl_words(
+            scene.lf_boxv, camera, width, height,
+            scene.node_lo[0], scene.node_hi[0], WL_BANDS, scene.wl_nl)
+        dist, u, v, tri, dx, dy, dz = _run_camera_wl(
+            scene.pk_box, scene.wl_lnode, scene.wl_lfc, cam,
+            shared_rows(scene.pk_tris, camera.pos), wlw, blo, wrg, p,
+            WL_BANDS)
+        f = lambda a: a.reshape(-1)
+        return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
+
     if _NMASK:
         masks = _camera_mask_words(scene.mk_boxv, camera, width, height,
                                    scene.node_lo[0], scene.node_hi[0])
@@ -2533,13 +3375,22 @@ def camera_trace_stats(scene, camera, width: int, height: int):
     tiles_x = width // TILE
     p = tiles_x * (height // TILE)
     cam = _cam_vec(camera, width, height, tiles_x)
-    masks = (_camera_mask_words(scene.mk_boxv, camera, width, height,
-                                scene.node_lo[0], scene.node_hi[0])
-             if _NMASK else _dummy_masks(p))
-    out = _run_camera_ival_stats(
-        scene.pk_meta, scene.pk_box, cam,
-        shared_rows(scene.pk_tris, camera.pos), masks, p
-    )
+    if _wl_available(scene):
+        wlw, blo, wrg = _camera_wl_words(
+            scene.lf_boxv, camera, width, height,
+            scene.node_lo[0], scene.node_hi[0], WL_BANDS, scene.wl_nl)
+        out = _run_camera_wl_stats(
+            scene.pk_box, scene.wl_lnode, scene.wl_lfc, cam,
+            shared_rows(scene.pk_tris, camera.pos), wlw, blo, wrg, p,
+            WL_BANDS)
+    else:
+        masks = (_camera_mask_words(scene.mk_boxv, camera, width, height,
+                                    scene.node_lo[0], scene.node_hi[0])
+                 if _NMASK else _dummy_masks(p))
+        out = _run_camera_ival_stats(
+            scene.pk_meta, scene.pk_box, cam,
+            shared_rows(scene.pk_tris, camera.pos), masks, p
+        )
     dist, u, v, tri, dx, dy, dz, stats = out
     f = lambda a: a.reshape(-1)
     return (f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz),
@@ -2557,6 +3408,18 @@ def any_hit_shared_stats(scene, light_pos, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
     pk = _pk
+    if _wl_available(scene):
+        wlw, blo, wrg = _shared_wl_words(scene.lf_boxv, orig, pk(dx),
+                                         pk(dy), pk(dz), pk(tm), 1,
+                                         scene.wl_nl)
+        out, stats = _run_shadow_wl_stats(
+            scene.pk_box, scene.wl_lnode, scene.wl_lfc, orig,
+            pk(dx), pk(dy), pk(dz), pk(tm),
+            shared_rows(scene.pk_tris,
+                        jnp.asarray(light_pos, jnp.float32)),
+            wlw, blo, wrg, 1,
+        )
+        return out.reshape(-1)[:n] > 0.0, stats.reshape(-1, 8)
     masks = (_shared_mask_words(scene.mk_boxv, orig, pk(dx), pk(dy),
                                 pk(dz), pk(tm))
              if _NMASK else _dummy_masks(pk(dx).shape[0]))
@@ -2675,6 +3538,20 @@ def closest_hit_c(scene, o3, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     pk = _pk
     paged = getattr(scene, "pg_meta", None) is not None
+    if _wl_available(scene):
+        ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
+        dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
+                                        unit_fallback=True)
+        wlw, blo, wrg = _general_wl_words(
+            scene.lf_boxv, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
+            pk(dz), pk(tm), WL_BANDS, scene.wl_nl)
+        dist, u, v, tri = _run_closest_wl_g(
+            scene.pk_box, scene.wl_lnode, scene.wl_lfc,
+            pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
+            scene.pk_tris, wlw, blo, wrg, WL_BANDS,
+        )
+        f = lambda a: a.reshape(-1)[:n]
+        return f(dist), f(u), f(v), f(tri)
     if paged or scene.leaf_max <= IVAL_LEAF:
         ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
         dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
@@ -2716,6 +3593,19 @@ def any_hit_shared(scene, light_pos, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
     pk = _pk
+    if _wl_available(scene):
+        # any-hit needs no ordering: one band, scan-and-drain
+        wlw, blo, wrg = _shared_wl_words(scene.lf_boxv, orig, pk(dx),
+                                         pk(dy), pk(dz), pk(tm), 1,
+                                         scene.wl_nl)
+        out = _run_shadow_wl(
+            scene.pk_box, scene.wl_lnode, scene.wl_lfc, orig,
+            pk(dx), pk(dy), pk(dz), pk(tm),
+            shared_rows(scene.pk_tris,
+                        jnp.asarray(light_pos, jnp.float32)),
+            wlw, blo, wrg, 1,
+        )
+        return out.reshape(-1)[:n] > 0.0
     paged = getattr(scene, "pg_meta", None) is not None
     if paged or scene.leaf_max <= IVAL_LEAF:
         masks = (_shared_mask_words(scene.mk_boxv, orig, pk(dx), pk(dy),
@@ -2776,6 +3666,19 @@ def any_hit_c(scene, o3, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     pk = _pk
     paged = getattr(scene, "pg_meta", None) is not None
+    if _wl_available(scene):
+        ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
+        dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
+                                        unit_fallback=True)
+        wlw, blo, wrg = _general_wl_words(
+            scene.lf_boxv, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
+            pk(dz), pk(tm), 1, scene.wl_nl)
+        out = _run_shadow_wl_g(
+            scene.pk_box, scene.wl_lnode, scene.wl_lfc,
+            pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
+            scene.pk_tris, wlw, blo, wrg, 1,
+        )
+        return out.reshape(-1)[:n] > 0.0
     if paged or scene.leaf_max <= IVAL_LEAF:
         ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
         dx, dy, dz = _substitute_masked((dx, dy, dz), tm,

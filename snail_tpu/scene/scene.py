@@ -81,6 +81,13 @@ class TracedScene:
     # Planar node boxes for the XLA node-mask pass (traverse_pallas
     # compute_masks): f32[6, NV, 8, 128] covering top + page-local nodes.
     mk_boxv: Optional[jnp.ndarray] = None
+    # Drain-only worklist tables (traverse_pallas.pack_leaf_tables):
+    # planar LEAF boxes for the per-packet XLA leaf pass + the permuted
+    # leaf->node and first<<7|count SMEM tables. None => walk kernels.
+    lf_boxv: Optional[jnp.ndarray] = None
+    wl_lnode: Optional[jnp.ndarray] = None
+    wl_lfc: Optional[jnp.ndarray] = None
+    wl_nl: int = static_field(default=0)  # real (unpadded) leaf count
     # Component-planar (SoA) shading arrays for the packed fast path:
     # 16 flat (T,) arrays (n0.xyz, ne1.xyz, ne2.xyz, uv0.uv, uve1.uv,
     # uve2.uv, mat) — gathers of (T,) beat gathers of (T, 3) on TPU.
@@ -157,17 +164,27 @@ def make_traced_scene(
         tex_atlas, tex_meta = textures
 
     from ..ops.traverse_pallas import (
+        IVAL_LEAF,
+        pack_leaf_tables,
         pack_scene_arrays,
         pack_scene_arrays_paged,
     )
 
     pg_meta = pg_box = mk_boxv = None
+    lf_boxv = wl_lnode = wl_lfc = None
+    wl_nl = 0
     mk_off = mk_cap = 0
     try:
         pk_meta, pk_box, pk_tris, mk_boxv, mk_off = pack_scene_arrays(
             bvh, g)
         pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
         mk_boxv = dev(mk_boxv)
+        if leaf_max <= IVAL_LEAF:
+            wl = pack_leaf_tables(bvh)
+            if wl is not None:
+                lf_boxv, wl_lnode, wl_lfc = (dev(wl[0]), dev(wl[1]),
+                                             dev(wl[2]))
+                wl_nl = wl[3]
     except ValueError:
         try:  # over the SMEM node cap: two-level page layout
             (pk_meta, pk_box, pk_tris, pg_meta, pg_box, mk_boxv, mk_off,
@@ -245,6 +262,10 @@ def make_traced_scene(
         pg_meta=pg_meta,
         pg_box=pg_box,
         mk_boxv=mk_boxv,
+        lf_boxv=lf_boxv,
+        wl_lnode=wl_lnode,
+        wl_lfc=wl_lfc,
+        wl_nl=wl_nl,
         sh_soa=sh_soa,
         sh_pack=dev(sh_pack),
         mat_pack=dev(mat_pack),

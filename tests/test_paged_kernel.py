@@ -110,9 +110,16 @@ def test_paged_general_closest_matches_flat(scenes):
     fa = [np.asarray(x) for x in closest_hit_c(flat, o3, d3, tmj)]
     pa = [np.asarray(x) for x in closest_hit_c(paged, o3, d3, tmj)]
     hit = (fa[0] > 0) & (fa[0] < BIG)
-    np.testing.assert_array_equal(fa[3][hit], pa[3][hit])
-    for i in range(3):
-        np.testing.assert_allclose(fa[i][hit], pa[i][hit], atol=1e-5)
+    # tri ids may differ only where two triangles tie on distance (the
+    # flat worklist kernels and the paged walk process leaves in a
+    # different order, and equal-distance hits keep the first winner —
+    # the reference's traversal order-dependence, bvh/traverse.cpp)
+    differ = hit & (fa[3] != pa[3])
+    np.testing.assert_allclose(fa[0][differ], pa[0][differ], rtol=1e-6)
+    np.testing.assert_allclose(fa[0][hit], pa[0][hit], atol=1e-5)
+    same = hit & (fa[3] == pa[3])
+    for i in range(1, 3):
+        np.testing.assert_allclose(fa[i][same], pa[i][same], atol=1e-5)
     # miss/masked sentinels agree
     np.testing.assert_allclose(fa[0], pa[0], atol=1e-5)
 

@@ -1060,6 +1060,15 @@ def _leaf_dma(tris_hbm, tscratch, sems, slot, first):
     )
 
 
+def _boxrow_dma(boxrows_hbm, lbrow_ref, bsems, slot, t):
+    """One 512-B leaf-box row (16 boxes) HBM -> the slot's SMEM row."""
+    return pltpu.make_async_copy(
+        boxrows_hbm.at[pl.ds(jax.lax.shift_right_logical(t, 4), 1), :],
+        lbrow_ref.at[pl.ds(slot, 1), :],
+        bsems.at[slot],
+    )
+
+
 def _stage_tables(tbl_hbm, box_hbm, tbl_s, box_s, ssem):
     """Fill the persistent node-table scratches ONCE, at grid step 0.
 
@@ -1105,7 +1114,7 @@ def _or_across_rays(acc):
 
 def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
                       sems, lq_ref, bits_ref, qlist_ref, stats_ref,
-                      box_ref=None, lbox_ref=None):
+                      box_ref=None, lbox_ref=None, browt=None):
     """Build the shared Phase-B drain: one vector->scalar sync per chunk —
     batched per-leaf per-quarter culls + the stale packet bound, then
     drain surviving (leaf, quarter) pairs. Bit (i*NQ + q) of the packed
@@ -1114,7 +1123,12 @@ def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
 
     Leaf bboxes come from ``box_ref`` (the staged node table, read by the
     node id in lq_ref — flat scenes, where the table cannot page out) or
-    from ``lbox_ref`` (enqueue-time copies — the paged walk). Used by both
+    from ``lbox_ref`` (enqueue-time copies — the paged walk), or from
+    ``browt = (boxrows_hbm, lbrow_ref, bsems)`` — enqueue-time box-ROW
+    DMAs for big-scene worklists whose boxes cannot live in SMEM: row
+    t>>4 of the (ceil(Lp/16), 128) HBM table holds 16 leaf boxes and
+    lands in the slot's 128-lane SMEM row; the leaf index t rides
+    lq_ref[i*3+2] so the cull reads lanes (t&15)*8 + k. Used by both
     the stack walk (_traverse_ival) and the drain-only worklist kernels
     (_traverse_wl)."""
 
@@ -1139,6 +1153,13 @@ def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
                     b = lq_ref[i * 3 + 2] * 6
                     lo = (box_ref[b], box_ref[b + 1], box_ref[b + 2])
                     hi = (box_ref[b + 3], box_ref[b + 4], box_ref[b + 5])
+                elif browt is not None:
+                    _, lbrow_ref, bsems = browt
+                    off = (lq_ref[i * 3 + 2] & 15) * 8
+                    lo = (lbrow_ref[i, off], lbrow_ref[i, off + 1],
+                          lbrow_ref[i, off + 2])
+                    hi = (lbrow_ref[i, off + 3], lbrow_ref[i, off + 4],
+                          lbrow_ref[i, off + 5])
                 else:
                     # leaf bbox captured at enqueue (lbox_ref) — node
                     # tables may have paged over since
@@ -1167,6 +1188,10 @@ def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
                 if _PROF != "nodma":
                     _leaf_dma(tris_hbm, tscratch, sems, i,
                               lq_ref[i * 3]).wait()
+                    if browt is not None:
+                        boxrows_hbm, lbrow_ref, bsems = browt
+                        _boxrow_dma(boxrows_hbm, lbrow_ref, bsems, i,
+                                    lq_ref[i * 3 + 2]).wait()
 
         if _DRAIN == "leaf" and not _PROF:
             # round-1 structure: static per-leaf pl.when, whole packet
@@ -2666,7 +2691,7 @@ def _load_wl(wlw_hbm, wl_s, ssem):
 def _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
                  o, idir, maxb0, lim_fn, process_fn,
                  tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 stats_ref, *, k_bands: int):
+                 stats_ref, *, k_bands: int, browt=None):
     """Drain-only traversal: scan per-band leaf bit words (the VPU
     pre-pass already did every interval test) and feed the leaf DMA ring
     + chunk drain. No stack, no node meta, no per-pop SMEM chains — the
@@ -2687,7 +2712,8 @@ def _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
     ns = wrg_ref.shape[2] // k_bands  # summary words per band (= NVL)
     chunk_drain = _make_chunk_drain(
         o, idir, lim_fn, process_fn, tris_hbm, tscratch, sems,
-        lq_ref, bits_ref, qlist_ref, stats_ref, box_ref=box_ref)
+        lq_ref, bits_ref, qlist_ref, stats_ref, box_ref=box_ref,
+        browt=browt)
 
     # garbage node ids in never-written queue slots would be OOB box
     # reads in the chunk culls (the round-4 fault mode) — zero once
@@ -2703,6 +2729,9 @@ def _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
     def _enq(nq, first, count, node):
         if _PROF != "nodma":
             _leaf_dma(tris_hbm, tscratch, sems, nq, first).start()
+            if browt is not None:
+                _boxrow_dma(browt[0], browt[1], browt[2], nq,
+                            node).start()
         lq_ref[nq * 3] = first
         lq_ref[nq * 3 + 1] = count
         lq_ref[nq * 3 + 2] = node
@@ -2732,8 +2761,12 @@ def _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
             low = word & (-word)
             t = wj * 32 + (31 - jax.lax.clz(low))
             fc = lfc_ref[t]
+            # slot id: the node id (flat culls read the staged box table
+            # by it) or the leaf index t itself (big path: culls read
+            # lanes (t&15)*8 of the DMA'd box row)
+            node = t if lnode_ref is None else lnode_ref[t]
             _enq(nq, jax.lax.shift_right_logical(fc, 7),
-                 fc & 0x7F, lnode_ref[t])
+                 fc & 0x7F, node)
             return b, sj, sw, wj, word & (word - 1), nq + 1, mb
 
         def advance(c):
@@ -3207,9 +3240,368 @@ def _run_shadow_wl_g(box, lnode, lfc, ox, oy, oz, dx, dy, dz, tm, tris,
 
 
 def _wl_available(scene) -> bool:
-    return (_WL and getattr(scene, "wl_lfc", None) is not None
+    return (_WL and getattr(scene, "wl_lnode", None) is not None
             and getattr(scene, "pg_meta", None) is None
             and scene.leaf_max <= IVAL_LEAF)
+
+
+# ---------------------------------------------------------------------------
+# Big-scene worklist kernels ("wlb"): scenes whose node tables exceed SMEM
+#
+# The drain-only design needs no node tables at all — the only SMEM-
+# resident per-leaf state is lfc (first<<7|count, 4 B/leaf, ~200k-leaf
+# budget) and the per-packet word rows. Leaf bboxes for the chunk culls
+# arrive by ENQUEUE-TIME DMA: 16 leaf boxes per 128-lane HBM row land in
+# the slot's SMEM row alongside the triangle DMA, so the per-ray slab
+# culls keep full walk-path tightness at any scene size. This REPLACES
+# the two-level paged walk (page pointer nodes, SMEM page cache, page
+# faults) for every wavefront the worklist kernels cover — the pages
+# remain only as the fallback for the legacy walk path.
+# ---------------------------------------------------------------------------
+
+WLB_LEAF_CAP = 220_000  # lfc SMEM budget (4 B/leaf)
+
+
+def pack_leaf_tables_big(bvh):
+    """Leaf tables for the big worklist kernels. Returns
+    (lf_boxv, lfc, boxrows, n_leaf) or None when out of range.
+
+    boxrows f32[ceil(Lp/16), 128]: leaf t's box at lanes (t&15)*8 + k
+    (lo.xyz, hi.xyz, 2 pad) — one 512-B DMA fetches 16 adjacent leaves'
+    boxes."""
+    leaf = np.where(bvh.count > 0)[0]
+    first = bvh.child[leaf].astype(np.int64)
+    cnt = bvh.count[leaf].astype(np.int64)
+    if (len(leaf) == 0 or len(leaf) > WLB_LEAF_CAP
+            or first.max() >= (1 << 24) or cnt.max() >= 128):
+        return None
+    L = len(leaf)
+    nv = max(1, -(-L // 1024))
+    lp = nv * 1024
+    box = np.zeros((lp, 6), np.float32)
+    box[:L, 0:3] = bvh.node_lo[leaf]
+    box[:L, 3:6] = bvh.node_hi[leaf]
+    box[L:, 0:3] = 1e30
+    box[L:, 3:6] = -1e30
+    lf_boxv = np.ascontiguousarray(box.T.reshape(6, nv, 8, 128))
+    lfc = np.zeros(lp, np.int32)
+    lfc[:L] = (first << 7) | cnt
+    rows = np.zeros((lp // 16, 16, 8), np.float32)
+    rows.reshape(-1, 8)[:, :6] = box
+    return lf_boxv, lfc, rows.reshape(-1, 128), L
+
+
+def _stage_wlb_tables(lfc_hbm, lfc_s, ssem):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cp = pltpu.make_async_copy(lfc_hbm, lfc_s, ssem.at[0])
+        cp.start()
+        cp.wait()
+
+
+def _camera_wlb_kernel(lfc_hbm, cam_ref, wlw_hbm, blo_ref, wrg_ref,
+                       boxrows_hbm, tris_hbm,
+                       dist_ref, u_ref, v_ref, tri_out,
+                       dx_ref, dy_ref, dz_ref,
+                       best_ref, bu_ref, bv_ref, tri_ref,
+                       tscratch, lq_ref, bits_ref, qlist_ref,
+                       lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
+                       *, k_bands: int):
+    """Primary rays, big-scene worklist. cam layout extends
+    _camera_kernel's f32[16] with root lo.xyz (16:19) / hi.xyz (19:22)
+    (no SMEM node table to read the root box from)."""
+    _stage_wlb_tables(lfc_hbm, lfc_s, ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    pid = pl.program_id(0)
+    tiles_x = cam_ref[15].astype(jnp.int32)
+    tx = pid % tiles_x
+    ty = pid // tiles_x
+
+    px, py = _pixel_xy(tx, ty)
+    x = (px + 0.5 - cam_ref[12]) * cam_ref[14]
+    y = (cam_ref[13] - py - 0.5) * cam_ref[14]
+
+    dx = cam_ref[0] * x + cam_ref[3] * y + cam_ref[6]
+    dy = cam_ref[1] * x + cam_ref[4] * y + cam_ref[7]
+    dz = cam_ref[2] * x + cam_ref[5] * y + cam_ref[8]
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx = dx * inv_len
+    dy = dy * inv_len
+    dz = dz * inv_len
+
+    o = (cam_ref[9], cam_ref[10], cam_ref[11])
+    d = (dx, dy, dz)
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+
+    rlo = (cam_ref[16], cam_ref[17], cam_ref[18])
+    rhi = (cam_ref[19], cam_ref[20], cam_ref[21])
+    t1 = tuple((rlo[k] - o[k]) * idir[k] for k in range(3))
+    t2 = tuple((rhi[k] - o[k]) * idir[k] for k in range(3))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1[0], t2[0]), jnp.maximum(t1[1], t2[1])),
+        jnp.maximum(t1[2], t2[2]),
+    )
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1[0], t2[0]), jnp.minimum(t1[1], t2[1])),
+        jnp.minimum(t1[2], t2[2]),
+    )
+    t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
+
+    best_ref[:, :] = t_exit
+    bu_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
+    bv_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
+    tri_ref[:, :] = jnp.full((RAY_SUB, RAY_LANE), -1, jnp.int32)
+
+    dx_ref[0] = dx
+    dy_ref[0] = dy
+    dz_ref[0] = dz
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+
+    maxb0 = jnp.max(t_exit)
+    lim_fn, process_fn = _closest_ival_drain(
+        d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
+    _traverse_wl(None, None, lfc_s, wl_s, blo_ref, wrg_ref,
+                 o, idir, maxb0, lim_fn, process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 None, k_bands=k_bands,
+                 browt=(boxrows_hbm, lbrow_s, bsems))
+
+    dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
+    u_ref[0] = bu_ref[:, :]
+    v_ref[0] = bv_ref[:, :]
+    tri_out[0] = tri_ref[:, :]
+
+
+def _shadow_wlb_kernel(lfc_hbm, orig_ref, wlw_hbm, blo_ref, wrg_ref,
+                       boxrows_hbm,
+                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                       out_ref, blocked_ref,
+                       tscratch, lq_ref, bits_ref, qlist_ref,
+                       lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
+                       *, k_bands: int):
+    """Shadow any-hit from the shared light origin, big-scene worklist."""
+    _stage_wlb_tables(lfc_hbm, lfc_s, ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    o = (orig_ref[0], orig_ref[1], orig_ref[2])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+
+    active = tmax >= 0.0
+    blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
+    limit = jnp.where(active, tmax, -BIG)
+    maxb0 = jnp.max(limit)
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+    lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
+                                            tscratch, blocked_ref)
+    _traverse_wl(None, None, lfc_s, wl_s, blo_ref, wrg_ref,
+                 o, idir, maxb0, lim_fn, process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 None, k_bands=k_bands,
+                 browt=(boxrows_hbm, lbrow_s, bsems))
+    out_ref[0] = blocked_ref[:, :]
+
+
+def _closest_wlb_kernel_g(lfc_hbm, wlw_hbm, blo_ref, wrg_ref,
+                          boxrows_hbm,
+                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tm_ref, tris_hbm,
+                          dist_ref, u_ref, v_ref, tri_out,
+                          best_ref, bu_ref, bv_ref, tri_ref,
+                          tscratch, lq_ref, bits_ref, qlist_ref,
+                          lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
+                          *, k_bands: int):
+    """General per-ray-origin closest hit, big-scene worklist."""
+    _stage_wlb_tables(lfc_hbm, lfc_s, ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    o = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+
+    active = tmax >= 0.0
+    best_ref[:, :] = jnp.where(active, jnp.minimum(tmax, BIG), -BIG)
+    bu_ref[:, :] = jnp.zeros_like(tmax)
+    bv_ref[:, :] = jnp.zeros_like(tmax)
+    tri_ref[:, :] = jnp.full(tmax.shape, -1, jnp.int32)
+    maxb0 = jnp.max(best_ref[:, :])
+
+    o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+    lim_fn, process_fn = _closest_ival_drain_g(
+        o_refs, d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
+    _traverse_wl(None, None, lfc_s, wl_s, blo_ref, wrg_ref,
+                 o, idir, maxb0, lim_fn, process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 None, k_bands=k_bands,
+                 browt=(boxrows_hbm, lbrow_s, bsems))
+
+    hit = tri_ref[:, :] >= 0
+    dist_ref[0] = jnp.where(hit, best_ref[:, :],
+                            jnp.where(active, BIG, -BIG))
+    u_ref[0] = bu_ref[:, :]
+    v_ref[0] = bv_ref[:, :]
+    tri_out[0] = jnp.maximum(tri_ref[:, :], 0)
+
+
+def _shadow_wlb_kernel_g(lfc_hbm, wlw_hbm, blo_ref, wrg_ref,
+                         boxrows_hbm,
+                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                         tm_ref, tris_hbm,
+                         out_ref, blocked_ref,
+                         tscratch, lq_ref, bits_ref, qlist_ref,
+                         lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
+                         *, k_bands: int):
+    """General per-ray-origin any-hit, big-scene worklist."""
+    _stage_wlb_tables(lfc_hbm, lfc_s, ssem)
+    _load_wl(wlw_hbm, wl_s, ssem)
+    o = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    tmax = tm_ref[0]
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+
+    active = tmax >= 0.0
+    blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
+    limit = jnp.where(active, tmax, -BIG)
+    maxb0 = jnp.max(limit)
+
+    o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
+    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
+    lim_fn, process_fn = _shadow_ival_drain_g(
+        o_refs, d_refs, tm_ref, limit, tscratch, blocked_ref)
+    _traverse_wl(None, None, lfc_s, wl_s, blo_ref, wrg_ref,
+                 o, idir, maxb0, lim_fn, process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 None, k_bands=k_bands,
+                 browt=(boxrows_hbm, lbrow_s, bsems))
+    out_ref[0] = blocked_ref[:, :]
+
+
+def _wlb_scratches(lfc, wlw):
+    return [
+        pltpu.VMEM((NBUF, IVAL_LEAF, TRI_ROW), jnp.float32),  # leaf ring
+        pltpu.SMEM((NBUF * 3,), jnp.int32),  # leaf queue
+        pltpu.SMEM((_BITS_WORDS,), jnp.int32),  # (leaf, quarter) bits
+        pltpu.SMEM((NBUF * NQ,), jnp.int32),  # compacted survivors
+        pltpu.SMEM((lfc.size,), jnp.int32),  # staged first<<7|count
+        pltpu.SMEM((wlw.shape[1], wlw.shape[2]), jnp.int32),  # word rows
+        pltpu.SMEM((NBUF, 128), jnp.float32),  # DMA'd leaf box rows
+        pltpu.SemaphoreType.DMA((NBUF,)),  # triangle ring
+        pltpu.SemaphoreType.DMA((NBUF,)),  # box rows
+        pltpu.SemaphoreType.DMA((4,)),  # stage + word-row DMA
+    ]
+
+
+def _cam_vec_rb(camera, width, height, tiles_x, root_lo, root_hi):
+    """_cam_vec extended with the scene root box (wlb kernels have no
+    SMEM node table to read it from)."""
+    return jnp.concatenate([
+        _cam_vec(camera, width, height, tiles_x),
+        jnp.asarray(root_lo, jnp.float32),
+        jnp.asarray(root_hi, jnp.float32),
+    ])
+
+
+@partial(jax.jit, static_argnames=("p", "k_bands"))
+def _run_camera_wlb(lfc, cam, tris, wlw, blo, wrg, boxrows, p, k_bands):
+    return pl.pallas_call(
+        partial(_camera_wlb_kernel, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 7,
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _wlb_scratches(lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(lfc, cam, wlw, blo, wrg, boxrows, tris)
+
+
+@partial(jax.jit, static_argnames=("k_bands",))
+def _run_shadow_wlb(lfc, orig, dx, dy, dz, tm, tris, wlw, blo, wrg,
+                    boxrows, k_bands):
+    p = dx.shape[0]
+    return pl.pallas_call(
+        partial(_shadow_wlb_kernel, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        + [_blk()] * 4
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _wlb_scratches(lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(lfc, orig, wlw, blo, wrg, boxrows, dx, dy, dz, tm, tris)
+
+
+@partial(jax.jit, static_argnames=("k_bands",))
+def _run_closest_wlb_g(lfc, ox, oy, oz, dx, dy, dz, tm, tris, wlw, blo,
+                       wrg, boxrows, k_bands):
+    p = ox.shape[0]
+    return pl.pallas_call(
+        partial(_closest_wlb_kernel_g, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=[_blk()] * 4,
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _wlb_scratches(lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(lfc, wlw, blo, wrg, boxrows, ox, oy, oz, dx, dy, dz, tm, tris)
+
+
+@partial(jax.jit, static_argnames=("k_bands",))
+def _run_shadow_wlb_g(lfc, ox, oy, oz, dx, dy, dz, tm, tris, wlw, blo,
+                      wrg, boxrows, k_bands):
+    p = ox.shape[0]
+    return pl.pallas_call(
+        partial(_shadow_wlb_kernel_g, k_bands=k_bands),
+        grid=(p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        + [_blk()] * 7
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=_blk(),
+        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _wlb_scratches(lfc, wlw)
+        ),
+        interpret=_interpret(),
+    )(lfc, wlw, blo, wrg, boxrows, ox, oy, oz, dx, dy, dz, tm, tris)
+
+
+def _wlb_available(scene) -> bool:
+    return (_WL and getattr(scene, "wl_boxrows", None) is not None)
 
 
 # ---------------------------------------------------------------------------
@@ -3305,6 +3697,20 @@ def camera_trace(scene, camera, width: int, height: int):
     tiles_x = width // TILE
     p = tiles_x * (height // TILE)
     cam = _cam_vec(camera, width, height, tiles_x)
+
+    if _wlb_available(scene):
+        # big-scene drain-only worklist: no node tables, leaf boxes by
+        # enqueue-time row DMA — replaces the two-level paged walk
+        wlw, blo, wrg = _camera_wl_words(
+            scene.lf_boxv, camera, width, height,
+            scene.node_lo[0], scene.node_hi[0], WL_BANDS, scene.wl_nl)
+        cam_rb = _cam_vec_rb(camera, width, height, tiles_x,
+                             scene.node_lo[0], scene.node_hi[0])
+        dist, u, v, tri, dx, dy, dz = _run_camera_wlb(
+            scene.wl_lfc, cam_rb, shared_rows(scene.pk_tris, camera.pos),
+            wlw, blo, wrg, scene.wl_boxrows, p, WL_BANDS)
+        f = lambda a: a.reshape(-1)
+        return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
 
     if _wl_available(scene):
         # drain-only worklist kernels: the XLA leaf pass replaces both
@@ -3538,6 +3944,20 @@ def closest_hit_c(scene, o3, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     pk = _pk
     paged = getattr(scene, "pg_meta", None) is not None
+    if _wlb_available(scene):
+        ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
+        dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
+                                        unit_fallback=True)
+        wlw, blo, wrg = _general_wl_words(
+            scene.lf_boxv, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
+            pk(dz), pk(tm), WL_BANDS, scene.wl_nl)
+        dist, u, v, tri = _run_closest_wlb_g(
+            scene.wl_lfc, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
+            pk(dz), pk(tm), scene.pk_tris, wlw, blo, wrg,
+            scene.wl_boxrows, WL_BANDS,
+        )
+        f = lambda a: a.reshape(-1)[:n]
+        return f(dist), f(u), f(v), f(tri)
     if _wl_available(scene):
         ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
         dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
@@ -3593,6 +4013,17 @@ def any_hit_shared(scene, light_pos, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
     pk = _pk
+    if _wlb_available(scene):
+        wlw, blo, wrg = _shared_wl_words(scene.lf_boxv, orig, pk(dx),
+                                         pk(dy), pk(dz), pk(tm), 1,
+                                         scene.wl_nl)
+        out = _run_shadow_wlb(
+            scene.wl_lfc, orig, pk(dx), pk(dy), pk(dz), pk(tm),
+            shared_rows(scene.pk_tris,
+                        jnp.asarray(light_pos, jnp.float32)),
+            wlw, blo, wrg, scene.wl_boxrows, 1,
+        )
+        return out.reshape(-1)[:n] > 0.0
     if _wl_available(scene):
         # any-hit needs no ordering: one band, scan-and-drain
         wlw, blo, wrg = _shared_wl_words(scene.lf_boxv, orig, pk(dx),
@@ -3666,6 +4097,19 @@ def any_hit_c(scene, o3, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     pk = _pk
     paged = getattr(scene, "pg_meta", None) is not None
+    if _wlb_available(scene):
+        ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
+        dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
+                                        unit_fallback=True)
+        wlw, blo, wrg = _general_wl_words(
+            scene.lf_boxv, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
+            pk(dz), pk(tm), 1, scene.wl_nl)
+        out = _run_shadow_wlb_g(
+            scene.wl_lfc, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
+            pk(dz), pk(tm), scene.pk_tris, wlw, blo, wrg,
+            scene.wl_boxrows, 1,
+        )
+        return out.reshape(-1)[:n] > 0.0
     if _wl_available(scene):
         ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
         dx, dy, dz = _substitute_masked((dx, dy, dz), tm,

@@ -87,6 +87,9 @@ class TracedScene:
     lf_boxv: Optional[jnp.ndarray] = None
     wl_lnode: Optional[jnp.ndarray] = None
     wl_lfc: Optional[jnp.ndarray] = None
+    # big-scene worklist: 16 leaf boxes per 128-lane row, DMA'd per
+    # enqueue (pack_leaf_tables_big); set => wl_lnode is None
+    wl_boxrows: Optional[jnp.ndarray] = None
     wl_nl: int = static_field(default=0)  # real (unpadded) leaf count
     # Component-planar (SoA) shading arrays for the packed fast path:
     # 16 flat (T,) arrays (n0.xyz, ne1.xyz, ne2.xyz, uv0.uv, uve1.uv,
@@ -166,12 +169,13 @@ def make_traced_scene(
     from ..ops.traverse_pallas import (
         IVAL_LEAF,
         pack_leaf_tables,
+        pack_leaf_tables_big,
         pack_scene_arrays,
         pack_scene_arrays_paged,
     )
 
     pg_meta = pg_box = mk_boxv = None
-    lf_boxv = wl_lnode = wl_lfc = None
+    lf_boxv = wl_lnode = wl_lfc = wl_boxrows = None
     wl_nl = 0
     mk_off = mk_cap = 0
     try:
@@ -192,6 +196,13 @@ def make_traced_scene(
             pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
             pg_meta, pg_box = dev(pg_meta), dev(pg_box)
             mk_boxv = dev(mk_boxv)
+            if leaf_max <= IVAL_LEAF:
+                wlb = pack_leaf_tables_big(bvh)
+                if wlb is not None:
+                    lf_boxv, wl_lfc, wl_boxrows = (dev(wlb[0]),
+                                                   dev(wlb[1]),
+                                                   dev(wlb[2]))
+                    wl_nl = wlb[3]
         except ValueError:
             pk_meta = pk_box = pk_tris = None  # jnp fallback
 
@@ -265,6 +276,7 @@ def make_traced_scene(
         lf_boxv=lf_boxv,
         wl_lnode=wl_lnode,
         wl_lfc=wl_lfc,
+        wl_boxrows=wl_boxrows,
         wl_nl=wl_nl,
         sh_soa=sh_soa,
         sh_pack=dev(sh_pack),

@@ -1114,7 +1114,8 @@ def _or_across_rays(acc):
 
 def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
                       sems, lq_ref, bits_ref, qlist_ref, stats_ref,
-                      box_ref=None, lbox_ref=None, browt=None):
+                      box_ref=None, lbox_ref=None, browt=None,
+                      lbt_ref=None, bound_bits=False):
     """Build the shared Phase-B drain: one vector->scalar sync per chunk —
     batched per-leaf per-quarter culls + the stale packet bound, then
     drain surviving (leaf, quarter) pairs. Bit (i*NQ + q) of the packed
@@ -1133,6 +1134,19 @@ def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
     (_traverse_wl)."""
 
     def chunk_drain(nq, maxb):
+        if browt is not None and _PROF != "nodma":
+            # the slab culls below READ the DMA'd box rows — wait the
+            # box copies FIRST (the enqueue-time-scalar-copy modes have
+            # no such hazard; reading an in-flight row produced sparse
+            # missed-hit corruption on hardware)
+            boxrows_hbm, lbrow_ref, bsems = browt
+            for i in range(NBUF):
+
+                @pl.when(i < nq)
+                def _(i=i):
+                    _boxrow_dma(boxrows_hbm, lbrow_ref, bsems, i,
+                                lq_ref[i * 3 + 2]).wait()
+
         lim = lim_fn()
         if _PROF in ("noslab", "nosync", "nodma"):  # ablation: no culls
             for w in range(_BITS_WORDS):
@@ -1153,6 +1167,16 @@ def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
                     b = lq_ref[i * 3 + 2] * 6
                     lo = (box_ref[b], box_ref[b + 1], box_ref[b + 2])
                     hi = (box_ref[b + 3], box_ref[b + 4], box_ref[b + 5])
+                elif lbt_ref is not None:
+                    # whole leaf-box-row table staged in SMEM (fits for
+                    # small scenes): no per-enqueue DMA, no waits
+                    t = lq_ref[i * 3 + 2]
+                    r0 = jax.lax.shift_right_logical(t, 4)
+                    off = (t & 15) * 8
+                    lo = (lbt_ref[r0, off], lbt_ref[r0, off + 1],
+                          lbt_ref[r0, off + 2])
+                    hi = (lbt_ref[r0, off + 3], lbt_ref[r0, off + 4],
+                          lbt_ref[r0, off + 5])
                 elif browt is not None:
                     _, lbrow_ref, bsems = browt
                     off = (lq_ref[i * 3 + 2] & 15) * 8
@@ -1177,6 +1201,13 @@ def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
                 bits_ref[w] = jnp.max(_or_across_rays(accs[w]))
         if _PROF in ("nosync", "nodma"):  # ablation: no vector->scalar read
             newb = maxb
+        elif bound_bits:
+            # the worklist scan compares the bound against band floors
+            # stored as raw f32 bits (Mosaic has no scalar bitcast):
+            # for non-negative IEEE floats the bit pattern is monotone,
+            # so the bound travels as an i32 of its own bits
+            newb = jnp.max(pltpu.bitcast(jnp.maximum(lim, 0.0),
+                                         jnp.int32))
         else:
             newb = jnp.max(lim)
         if stats_ref is not None:
@@ -1188,10 +1219,6 @@ def _make_chunk_drain(o, idir, lim_fn, process_fn, tris_hbm, tscratch,
                 if _PROF != "nodma":
                     _leaf_dma(tris_hbm, tscratch, sems, i,
                               lq_ref[i * 3]).wait()
-                    if browt is not None:
-                        boxrows_hbm, lbrow_ref, bsems = browt
-                        _boxrow_dma(boxrows_hbm, lbrow_ref, bsems, i,
-                                    lq_ref[i * 3 + 2]).wait()
 
         if _DRAIN == "leaf" and not _PROF:
             # round-1 structure: static per-leaf pl.when, whole packet
@@ -2461,818 +2488,62 @@ def _run_shadow_ival_g_paged(meta, box, ox, oy, oz, dx, dy, dz, tm, tris,
 #
 # The round-4 ablations put the scalar stack walk at ~59% of the forward
 # frame (~165 cycles per pop, SMEM-latency-bound) while the counters show
-# it enqueues only ~64 leaves per packet on feline 1024^2. The walk is
+# it enqueues only ~90 leaves per packet on feline 1024^2. The walk is
 # pure leaf DISCOVERY: with a BVH, a leaf's own conservative interval
 # verdict implies every ancestor's (child boxes are contained in parent
-# boxes and the test is monotone in the box), so the dense XLA pre-pass
-# over LEAVES alone already knows the exact set of leaves the walk would
-# enqueue. These kernels therefore never walk: compute_leaf_words
-# interval-tests every leaf per packet on the VPU, bit-packs the verdicts
-# into K near-to-far DISTANCE BANDS (plus per-band nonzero word ranges
-# and band floor distances), and the kernel's scalar core just scans the
-# bit words (ctz via clz) and feeds the same leaf DMA ring + chunk drain
-# as the walk did. Front-to-back ordering — the only thing the stack
-# order provided — survives as the band order plus the band-floor early
-# exit (skip band b once max(lim) <= blo[b], exact because bands are
-# assigned by comparing tn against those same floor values).
+# boxes and the test is monotone in the box), so a dense pass over
+# LEAVES alone already knows the exact set of leaves the walk would
+# enqueue. These kernels therefore never walk: a FUSED in-kernel leaf
+# pass interval-tests every leaf of the scene against the packet's
+# interval bounds on the VPU (the planar leaf-box table rides in VMEM),
+# packs the verdicts into histogram-equalized near-to-far distance bands
+# on the MXU (one dot_general per band emits the bit words TRANSPOSED
+# into scalar-readable layout — Mosaic has no lane-compaction shape
+# casts, but a (128,128) weight matrix of lane powers of two is exactly
+# that compaction, and f32 sums of <= 16 distinct powers below 2^16 are
+# exact), DMAs the few-KB word block VMEM->SMEM, and the scalar core
+# just scans bits (ctz via clz) into the leaf DMA ring + chunk drain.
+# An earlier two-pass variant computed the same words in XLA outside the
+# kernel and measured ~15 ms/frame of pure fusion overhead on a 44k-leaf
+# scene — in-kernel the pass is all-VMEM and costs ~the flops.
+#
+# Front-to-back ordering — the only thing the stack order provided —
+# survives as the band order plus the band-floor early exit (skip band b
+# once max(lim) <= blo[b], exact because bands are assigned by comparing
+# tn against those same floor values). Leaf bboxes for the per-ray chunk
+# culls arrive by enqueue-time DMA (16 boxes per 128-lane HBM row) so
+# nothing per-node ever needs SMEM residence: the same kernels serve a
+# 9k-node feline and a 90k-node terrain, and the two-level paged walk
+# survives only as the SNAIL_WL=0 fallback.
 #
 # The reference analogue: this is RayInterval packet culling
 # (ray_group.h:293-338, bounding_box.cpp:208-236) hoisted out of the
-# per-node recursion into one dense data-parallel pass — the TPU-shaped
-# version of "test the packet against every node", which the scalar core
-# could never afford but the VPU does in ~1 ms for the whole frame.
+# per-node recursion into one dense data-parallel pass per packet — the
+# TPU-shaped version of "test the packet against every node", which a
+# scalar core could never afford but the VPU+MXU do in ~10 us.
 # ---------------------------------------------------------------------------
 
 _WL = os.environ.get("SNAIL_WL", "1") != "0"
 WL_BANDS = int(os.environ.get("SNAIL_WL_BANDS", 8))  # closest-hit bands
+WL_LEAF_CAP = 220_000  # lfc SMEM budget (4 B/leaf)
 
 
 def pack_leaf_tables(bvh):
-    """Host-side leaf tables for the worklist kernels.
+    """Host-side leaf tables for the worklist kernels. Returns
+    (lf_boxv f32[6, NVL, 8, 128], lfc i32[Lp], boxrows, n_leaf) or None
+    when the scene doesn't fit the packing (first-tri >= 2^24, count
+    >= 128, or over the lfc SMEM budget).
 
-    Returns (lf_boxv f32[6, NVL, 8, 128], lnode i32[Lp], lfc i32[Lp],
-    n_leaf) or None when the scene doesn't fit the packing
-    (first-tri >= 2^24).
-
-    lf_boxv: planar leaf boxes in leaf-index order (leaves sorted by node
-    id = BVH DFS order, so spatially-adjacent leaves keep adjacent bits —
-    the packed words then cluster and the scalar scan's summary skip is
-    effective; padding slots never pass). Bit (word w, pos j) of the
-    packed words is leaf index w*32+j, indexing lnode (node id — chunk
-    culls read the staged node box table by it) and lfc
-    (first<<7 | count) directly."""
+    lf_boxv: planar leaf boxes in leaf-index order (leaves sorted by
+    node id = BVH DFS order, so spatially-adjacent leaves keep adjacent
+    bits and the packed words cluster); padding slots are masked in the
+    leaf pass. lfc[t] = first<<7 | count. boxrows f32[Lp/16, 128]: leaf
+    t's box at lanes (t&15)*8 + k (lo.xyz, hi.xyz, 2 pad) — one 512-B
+    DMA per enqueue fetches 16 adjacent leaves' boxes."""
     leaf = np.where(bvh.count > 0)[0]
     first = bvh.child[leaf].astype(np.int64)
     cnt = bvh.count[leaf].astype(np.int64)
-    if len(leaf) == 0 or first.max() >= (1 << 24) or cnt.max() >= 128:
-        return None
-    L = len(leaf)
-    nv = max(1, -(-L // 1024))
-    lp = nv * 1024
-    box = np.zeros((lp, 6), np.float32)
-    box[:L, 0:3] = bvh.node_lo[leaf]
-    box[:L, 3:6] = bvh.node_hi[leaf]
-    box[L:, 0:3] = 1e30
-    box[L:, 3:6] = -1e30
-    lf_boxv = np.ascontiguousarray(box.T.reshape(6, nv, 8, 128))
-    lnode = np.zeros(lp, np.int32)
-    lfc = np.zeros(lp, np.int32)
-    lnode[:L] = leaf
-    lfc[:L] = (first << 7) | cnt
-    return lf_boxv, lnode, lfc, L
-
-
-@partial(jax.jit, static_argnames=("k_bands", "n_leaf"))
-def compute_leaf_words(lf_boxv, im, iM, om, oM, maxb0, k_bands: int,
-                       n_leaf: int):
-    """Dense per-(packet, leaf) interval test + near-to-far band packing.
-
-    Same conservative 8-corner interval test as compute_masks, but over
-    LEAVES only, and each passing leaf lands in one of ``k_bands``
-    distance bands by its conservative entry distance tn. Returns
-      words (P, k_bands*8, lw) i32 — band b's bit words in rows
-            [b*8, b*8+8); bit (w, j) = leaf index w*32+j (leaf order,
-            so the DFS spatial clustering survives into the words);
-      blo   (P, 1, k_bands) f32 — band floor distances (every leaf in
-            band b has tn >= blo[b], byte-exact: bands are assigned by
-            comparing tn against these same values);
-      smm   (P, 1, k_bands*NVL) i32 — per-band summary words: bit j of
-            summary s = "word s*32+j is nonzero", so the scalar scan
-            jumps straight to populated words.
-    """
-    nv = lf_boxv.shape[1]
-    nw = nv * 32
-    lw = max(128, _next_pow2(-(-nw // 8)))
-    lane32 = jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 2) & 31
-    # padding slots must NEVER pass: the inverted-box convention is not
-    # enough — with a direction interval spanning zero the corner
-    # products of (+-1e30 - o) straddle +-inf and the conservative test
-    # passes (568 phantom leaves per packet measured before this mask)
-    li = (jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 0) * 1024
-          + jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 1) * 128
-          + jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 2))
-    valid = li < n_leaf
-
-    def _or_reduce(x, axis):
-        # the packed bits are disjoint powers of two within each reduced
-        # group, so an integer SUM is the same OR and lowers to the
-        # fast native reduction
-        return jnp.sum(x, axis=axis)
-
-    def one(args):
-        imp, iMp, omp, oMp, mb = args
-        tn = jnp.zeros((nv, 8, 128), jnp.float32)
-        tf = jnp.full((nv, 8, 128), mb, jnp.float32)
-        for k in range(3):
-            a1 = lf_boxv[k] - omp[k]
-            a2 = lf_boxv[k] - oMp[k]
-            c1 = lf_boxv[3 + k] - omp[k]
-            c2 = lf_boxv[3 + k] - oMp[k]
-            lo_min = jnp.minimum(jnp.minimum(a1 * imp[k], a1 * iMp[k]),
-                                 jnp.minimum(a2 * imp[k], a2 * iMp[k]))
-            lo_max = jnp.maximum(jnp.maximum(a1 * imp[k], a1 * iMp[k]),
-                                 jnp.maximum(a2 * imp[k], a2 * iMp[k]))
-            hi_min = jnp.minimum(jnp.minimum(c1 * imp[k], c1 * iMp[k]),
-                                 jnp.minimum(c2 * imp[k], c2 * iMp[k]))
-            hi_max = jnp.maximum(jnp.maximum(c1 * imp[k], c1 * iMp[k]),
-                                 jnp.maximum(c2 * imp[k], c2 * iMp[k]))
-            tn = jnp.maximum(tn, jnp.minimum(lo_min, hi_min))
-            tf = jnp.minimum(tf, jnp.maximum(lo_max, hi_max))
-        ok = (tn <= tf) & (tf > 0.0) & valid
-        t0 = jnp.minimum(jnp.min(jnp.where(ok, tn, BIG)), mb)
-        span = jnp.maximum(mb - t0, 1e-6)
-        if k_bands > 1:
-            # histogram-EQUALIZED band edges: linear spacing wastes the
-            # front-to-back ordering (for primary rays most passing
-            # leaves sit near the camera, all in band 0); equal-count
-            # bands keep ~L/K leaves per band so the per-chunk bound
-            # refresh prunes like the stack walk's ordered descent did
-            nbins = 32
-            bidx = jnp.clip(((tn - t0) * (nbins / span)).astype(jnp.int32),
-                            0, nbins - 1)
-            hist = jnp.stack([jnp.sum(((bidx == j) & ok).astype(jnp.int32))
-                              for j in range(nbins)])
-            c = jnp.cumsum(hist)
-            total = jnp.maximum(c[nbins - 1], 1)
-            edges = []
-            for b in range(1, k_bands):
-                tgt = (total * b + k_bands - 1) // k_bands
-                e = jnp.sum((c < tgt).astype(jnp.int32))
-                edges.append(t0 + e.astype(jnp.float32) * (span / nbins))
-            los = jnp.stack([t0] + edges)
-        else:
-            los = jnp.full((1,), t0)
-        band = jnp.zeros((nv, 8, 128), jnp.int32)
-        for b in range(1, k_bands):
-            band = band + (tn >= los[b]).astype(jnp.int32)
-        rows = []
-        sums = []
-        blos = []
-        sh32 = jax.lax.broadcasted_iota(jnp.int32, (nv, 32), 1)
-        for b in range(k_bands):
-            okb = (ok & (band == b)).astype(jnp.int32)
-            # leaf i at [blk, sb, lane] -> bit (lane&31) of word
-            # i>>5 = blk*32 + sb*4 + (lane>>5): lane-group OR keeps
-            # word order == leaf order
-            w = jnp.left_shift(okb, lane32).reshape(nv, 8, 4, 32)
-            w2 = _or_reduce(w, 3).reshape(-1)  # (nw,)
-            nzw = (w2 != 0).astype(jnp.int32).reshape(nv, 32)
-            s = _or_reduce(jnp.left_shift(nzw, sh32), 1)  # (nv,)
-            sums.append(s)
-            # empty band -> floor BIG, so the kernel's blo >= bound
-            # skip fires without even scanning the summary words
-            blos.append(jnp.where(jnp.any(s != 0), los[b], BIG))
-            w2 = jnp.pad(w2, (0, 8 * lw - nw))
-            rows.append(w2.reshape(8, lw))
-        return (jnp.concatenate(rows, axis=0), jnp.stack(blos),
-                jnp.concatenate(sums))
-
-    # one fused vmap over packets: the work is tiny (~1 Mflop/frame)
-    # and lax.map's sequential 32-batches cost more in dispatch than
-    # the math; full-batch temporaries are only ~5 MB per plane
-    words, blo, smm = jax.vmap(one)((im, iM, om, oM, maxb0))
-    return words, blo[:, None, :], smm[:, None, :]
-
-
-@partial(jax.jit, static_argnames=("width", "height", "k_bands",
-                                   "n_leaf"))
-def _camera_wl_words(lf_boxv, camera, width: int, height: int,
-                     root_lo, root_hi, k_bands: int, n_leaf: int):
-    im, iM, om, maxb0 = _camera_packet_bounds(camera, width, height,
-                                              root_lo, root_hi)
-    return compute_leaf_words(lf_boxv, im, iM, om, om, maxb0, k_bands,
-                              n_leaf)
-
-
-@partial(jax.jit, static_argnames=("k_bands", "n_leaf"))
-def _shared_wl_words(lf_boxv, origin, dx, dy, dz, tm, k_bands: int,
-                     n_leaf: int):
-    im, iM, om, maxb0 = _shared_packet_bounds(origin, dx, dy, dz, tm)
-    return compute_leaf_words(lf_boxv, im, iM, om, om, maxb0, k_bands,
-                              n_leaf)
-
-
-@partial(jax.jit, static_argnames=("k_bands", "n_leaf"))
-def _general_wl_words(lf_boxv, ox, oy, oz, dx, dy, dz, tm, k_bands: int,
-                      n_leaf: int):
-    im, iM, om, oM, maxb0 = _general_packet_bounds(ox, oy, oz, dx, dy,
-                                                   dz, tm)
-    return compute_leaf_words(lf_boxv, im, iM, om, oM, maxb0, k_bands,
-                              n_leaf)
-
-
-def _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
-                     ssem):
-    """Fill the persistent leaf/box table scratches ONCE, at grid step 0
-    (see _stage_tables for why)."""
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        c1 = pltpu.make_async_copy(box_hbm, box_s, ssem.at[0])
-        c2 = pltpu.make_async_copy(lnode_hbm, lnode_s, ssem.at[1])
-        c3 = pltpu.make_async_copy(lfc_hbm, lfc_s, ssem.at[2])
-        c1.start()
-        c2.start()
-        c3.start()
-        c1.wait()
-        c2.wait()
-        c3.wait()
-
-
-def _load_wl(wlw_hbm, wl_s, ssem):
-    """DMA this packet's leaf-word rows (compute_leaf_words output) into
-    SMEM."""
-    cp = pltpu.make_async_copy(wlw_hbm.at[pl.program_id(0)], wl_s,
-                               ssem.at[3])
-    cp.start()
-    cp.wait()
-
-
-def _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
-                 o, idir, maxb0, lim_fn, process_fn,
-                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 stats_ref, *, k_bands: int, browt=None):
-    """Drain-only traversal: scan per-band leaf bit words (the VPU
-    pre-pass already did every interval test) and feed the leaf DMA ring
-    + chunk drain. No stack, no node meta, no per-pop SMEM chains — the
-    scalar core's serial work is one summary-word hop per populated
-    word plus ~10 ops per discovered leaf.
-
-    Bands run as a RUNTIME fori_loop so the (large) chunk-drain body is
-    instantiated exactly once — a static per-band unroll measured ~3x
-    slower (four drain copies thrash the scalar core's i-cache).
-    ``wrg_ref`` holds the per-band summary words (bit j of summary s =
-    "word s*32+j nonzero"); the scan is a flat 3-way state machine
-    (pop leaf / hop to next populated word / next summary word) so the
-    serial SMEM chain is proportional to POPULATED words, not the word
-    range. ``stats_ref`` counters keep their _traverse_ival meaning
-    ([0] here counts summary+word reads instead of nodes popped)."""
-    lw = wl_ref.shape[1]
-    sh = lw.bit_length() - 1
-    ns = wrg_ref.shape[2] // k_bands  # summary words per band (= NVL)
-    chunk_drain = _make_chunk_drain(
-        o, idir, lim_fn, process_fn, tris_hbm, tscratch, sems,
-        lq_ref, bits_ref, qlist_ref, stats_ref, box_ref=box_ref,
-        browt=browt)
-
-    # garbage node ids in never-written queue slots would be OOB box
-    # reads in the chunk culls (the round-4 fault mode) — zero once
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for i in range(NBUF):
-            lq_ref[i * 3 + 2] = 0
-
-    if stats_ref is not None:
-        for i in range(8):
-            stats_ref[0, 0, i] = 0
-
-    def _enq(nq, first, count, node):
-        if _PROF != "nodma":
-            _leaf_dma(tris_hbm, tscratch, sems, nq, first).start()
-            if browt is not None:
-                _boxrow_dma(browt[0], browt[1], browt[2], nq,
-                            node).start()
-        lq_ref[nq * 3] = first
-        lq_ref[nq * 3 + 1] = count
-        lq_ref[nq * 3 + 2] = node
-        if stats_ref is not None:
-            stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
-
-    def read_word(b, wj):
-        return wl_ref[(b << 3) + jax.lax.shift_right_logical(wj, sh),
-                      wj & (lw - 1)]
-
-    def read_sum(b, sj):
-        return wrg_ref[0, 0, b * ns + sj]
-
-    # One continuous scan stream across all bands: the leaf queue CARRIES
-    # over band boundaries and drains only when the ring is full (a
-    # per-band flush measured ~20% slower — every drain pays all NBUF
-    # slab slots + one sync regardless of fill). Scan state
-    # (b, sj, sw, wj, word): pop a leaf bit, else hop to the next
-    # populated word, else the next summary word, else enter the next
-    # band (applying the band-floor skip with the bound of the LAST
-    # drain — stale is conservative).
-    def scan_body(c):
-        b, sj, sw, wj, word, nq, mb = c
-
-        def pop(c):
-            b, sj, sw, wj, word, nq, mb = c
-            low = word & (-word)
-            t = wj * 32 + (31 - jax.lax.clz(low))
-            fc = lfc_ref[t]
-            # slot id: the node id (flat culls read the staged box table
-            # by it) or the leaf index t itself (big path: culls read
-            # lanes (t&15)*8 of the DMA'd box row)
-            node = t if lnode_ref is None else lnode_ref[t]
-            _enq(nq, jax.lax.shift_right_logical(fc, 7),
-                 fc & 0x7F, node)
-            return b, sj, sw, wj, word & (word - 1), nq + 1, mb
-
-        def advance(c):
-            b, sj, sw, wj, word, nq, mb = c
-            if stats_ref is not None:
-                stats_ref[0, 0, 0] = stats_ref[0, 0, 0] + 1
-
-            def from_sw(c):
-                b, sj, sw, wj, word, nq, mb = c
-                low = sw & (-sw)
-                wj = sj * 32 + (31 - jax.lax.clz(low))
-                return (b, sj, sw & (sw - 1), wj, read_word(b, wj),
-                        nq, mb)
-
-            def from_sj(c):
-                b, sj, sw, wj, word, nq, mb = c
-                sj = sj + 1
-                return b, sj, read_sum(b, sj), wj, word, nq, mb
-
-            def next_band(c):
-                b, sj, sw, wj, word, nq, mb = c
-                b = b + 1
-                bc = jnp.minimum(b, k_bands - 1)
-                # every leaf in band b has tn >= blo[b] (bands are
-                # assigned by comparing against these exact values;
-                # empty bands carry blo = BIG): skip once the packet
-                # bound is at or below the floor
-                skip = (b >= k_bands) | (blo_ref[0, 0, bc] >= mb)
-                sj = jnp.where(skip, ns - 1, 0)
-                sw = jnp.where(skip, 0, read_sum(bc, 0))
-                return b, sj, sw, wj, word, nq, mb
-
-            return jax.lax.cond(
-                sw != 0, from_sw,
-                lambda c: jax.lax.cond(c[1] + 1 < ns, from_sj,
-                                       next_band, c),
-                c)
-
-        return jax.lax.cond(word != 0, pop, advance, c)
-
-    def outer(carry):
-        b, sj, sw, wj, word, mb = carry
-        b, sj, sw, wj, word, nq, _ = jax.lax.while_loop(
-            lambda c: (c[5] < NBUF) & (c[0] < k_bands),
-            scan_body, (b, sj, sw, wj, word, 0, mb))
-        return b, sj, sw, wj, word, chunk_drain(nq, mb)
-
-    jax.lax.while_loop(
-        lambda c: (c[0] < k_bands) & (c[5] > 0.0),
-        outer,
-        (jnp.int32(-1), jnp.int32(ns - 1), jnp.int32(0), jnp.int32(0),
-         jnp.int32(0), maxb0))
-
-
-def _camera_wl_impl(box_ref, lnode_ref, lfc_ref, cam_ref, wl_ref,
-                    blo_ref, wrg_ref, tris_hbm,
-                    dist_ref, u_ref, v_ref, tri_out,
-                    dx_ref, dy_ref, dz_ref,
-                    best_ref, bu_ref, bv_ref, tri_ref,
-                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
-                    stats_ref, *, k_bands: int):
-    """Primary rays: camera-fused raygen + drain-only worklist traversal
-    (cam layout as _camera_kernel, f32[16])."""
-    pid = pl.program_id(0)
-    tiles_x = cam_ref[15].astype(jnp.int32)
-    tx = pid % tiles_x
-    ty = pid // tiles_x
-
-    px, py = _pixel_xy(tx, ty)
-    x = (px + 0.5 - cam_ref[12]) * cam_ref[14]
-    y = (cam_ref[13] - py - 0.5) * cam_ref[14]
-
-    dx = cam_ref[0] * x + cam_ref[3] * y + cam_ref[6]
-    dy = cam_ref[1] * x + cam_ref[4] * y + cam_ref[7]
-    dz = cam_ref[2] * x + cam_ref[5] * y + cam_ref[8]
-    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-    dx = dx * inv_len
-    dy = dy * inv_len
-    dz = dz * inv_len
-
-    o = (cam_ref[9], cam_ref[10], cam_ref[11])
-    d = (dx, dy, dz)
-    idir = tuple(1.0 / (c + 1e-8) for c in d)
-
-    # per-ray working bound = root-box exit distance (misses stop
-    # holding the packet bound at BIG); hits tracked via tri >= 0
-    rlo, rhi = _box(box_ref, 0)
-    t1 = tuple((rlo[k] - o[k]) * idir[k] for k in range(3))
-    t2 = tuple((rhi[k] - o[k]) * idir[k] for k in range(3))
-    tf = jnp.minimum(
-        jnp.minimum(jnp.maximum(t1[0], t2[0]), jnp.maximum(t1[1], t2[1])),
-        jnp.maximum(t1[2], t2[2]),
-    )
-    tn = jnp.maximum(
-        jnp.maximum(jnp.minimum(t1[0], t2[0]), jnp.minimum(t1[1], t2[1])),
-        jnp.minimum(t1[2], t2[2]),
-    )
-    t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
-
-    best_ref[:, :] = t_exit
-    bu_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
-    bv_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
-    tri_ref[:, :] = jnp.full((RAY_SUB, RAY_LANE), -1, jnp.int32)
-
-    dx_ref[0] = dx
-    dy_ref[0] = dy
-    dz_ref[0] = dz
-    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
-
-    maxb0 = jnp.max(t_exit)
-    lim_fn, process_fn = _closest_ival_drain(
-        d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
-    _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
-                 o, idir, maxb0, lim_fn, process_fn,
-                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 stats_ref, k_bands=k_bands)
-
-    dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
-    u_ref[0] = bu_ref[:, :]
-    v_ref[0] = bv_ref[:, :]
-    tri_out[0] = tri_ref[:, :]
-
-
-def _camera_wl_kernel(box_hbm, lnode_hbm, lfc_hbm, cam_ref, wlw_hbm,
-                      blo_ref, wrg_ref, tris_hbm,
-                      dist_ref, u_ref, v_ref, tri_out,
-                      dx_ref, dy_ref, dz_ref,
-                      best_ref, bu_ref, bv_ref, tri_ref,
-                      tscratch, lq_ref, bits_ref, qlist_ref,
-                      box_s, lnode_s, lfc_s, wl_s, sems, ssem,
-                      *, k_bands: int):
-    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
-                     ssem)
-    _load_wl(wlw_hbm, wl_s, ssem)
-    _camera_wl_impl(box_s, lnode_s, lfc_s, cam_ref, wl_s, blo_ref,
-                    wrg_ref, tris_hbm,
-                    dist_ref, u_ref, v_ref, tri_out,
-                    dx_ref, dy_ref, dz_ref,
-                    best_ref, bu_ref, bv_ref, tri_ref,
-                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
-                    None, k_bands=k_bands)
-
-
-def _camera_wl_kernel_stats(box_hbm, lnode_hbm, lfc_hbm, cam_ref, wlw_hbm,
-                            blo_ref, wrg_ref, tris_hbm,
-                            dist_ref, u_ref, v_ref, tri_out,
-                            dx_ref, dy_ref, dz_ref, st_ref,
-                            best_ref, bu_ref, bv_ref, tri_ref,
-                            tscratch, lq_ref, bits_ref, qlist_ref,
-                            box_s, lnode_s, lfc_s, wl_s, sems,
-                            ssem, *, k_bands: int):
-    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
-                     ssem)
-    _load_wl(wlw_hbm, wl_s, ssem)
-    _camera_wl_impl(box_s, lnode_s, lfc_s, cam_ref, wl_s, blo_ref,
-                    wrg_ref, tris_hbm,
-                    dist_ref, u_ref, v_ref, tri_out,
-                    dx_ref, dy_ref, dz_ref,
-                    best_ref, bu_ref, bv_ref, tri_ref,
-                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
-                    st_ref, k_bands=k_bands)
-
-
-def _shadow_wl_impl(box_ref, lnode_ref, lfc_ref, orig_ref, wl_ref,
-                    blo_ref, wrg_ref,
-                    dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
-                    out_ref, blocked_ref,
-                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
-                    stats_ref, *, k_bands: int):
-    """Shadow any-hit from the shared light origin, drain-only."""
-    o = (orig_ref[0], orig_ref[1], orig_ref[2])
-    d = (dx_ref[0], dy_ref[0], dz_ref[0])
-    tmax = tm_ref[0]
-    idir = tuple(1.0 / (c + 1e-8) for c in d)
-
-    active = tmax >= 0.0
-    blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
-    limit = jnp.where(active, tmax, -BIG)
-    maxb0 = jnp.max(limit)
-    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
-    lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
-                                            tscratch, blocked_ref)
-    _traverse_wl(box_ref, lnode_ref, lfc_ref, wl_ref, blo_ref, wrg_ref,
-                 o, idir, maxb0, lim_fn, process_fn,
-                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 stats_ref, k_bands=k_bands)
-    out_ref[0] = blocked_ref[:, :]
-
-
-def _shadow_wl_kernel(box_hbm, lnode_hbm, lfc_hbm, orig_ref, wlw_hbm,
-                      blo_ref, wrg_ref,
-                      dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
-                      out_ref, blocked_ref,
-                      tscratch, lq_ref, bits_ref, qlist_ref,
-                      box_s, lnode_s, lfc_s, wl_s, sems, ssem,
-                      *, k_bands: int):
-    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
-                     ssem)
-    _load_wl(wlw_hbm, wl_s, ssem)
-    _shadow_wl_impl(box_s, lnode_s, lfc_s, orig_ref, wl_s, blo_ref,
-                    wrg_ref, dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
-                    out_ref, blocked_ref,
-                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
-                    None, k_bands=k_bands)
-
-
-def _shadow_wl_kernel_stats(box_hbm, lnode_hbm, lfc_hbm, orig_ref,
-                            wlw_hbm, blo_ref, wrg_ref,
-                            dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
-                            out_ref, st_ref, blocked_ref,
-                            tscratch, lq_ref, bits_ref, qlist_ref,
-                            box_s, lnode_s, lfc_s, wl_s, sems,
-                            ssem, *, k_bands: int):
-    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
-                     ssem)
-    _load_wl(wlw_hbm, wl_s, ssem)
-    _shadow_wl_impl(box_s, lnode_s, lfc_s, orig_ref, wl_s, blo_ref,
-                    wrg_ref, dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
-                    out_ref, blocked_ref,
-                    tscratch, lq_ref, bits_ref, qlist_ref, sems,
-                    st_ref, k_bands=k_bands)
-
-
-def _closest_wl_kernel_g(box_hbm, lnode_hbm, lfc_hbm, wlw_hbm,
-                         blo_ref, wrg_ref,
-                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                         tm_ref, tris_hbm,
-                         dist_ref, u_ref, v_ref, tri_out,
-                         best_ref, bu_ref, bv_ref, tri_ref,
-                         tscratch, lq_ref, bits_ref, qlist_ref,
-                         box_s, lnode_s, lfc_s, wl_s, sems, ssem,
-                         *, k_bands: int):
-    """General per-ray-origin closest hit, drain-only (bounce rays)."""
-    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
-                     ssem)
-    _load_wl(wlw_hbm, wl_s, ssem)
-    o = (ox_ref[0], oy_ref[0], oz_ref[0])
-    d = (dx_ref[0], dy_ref[0], dz_ref[0])
-    tmax = tm_ref[0]
-    idir = tuple(1.0 / (c + 1e-8) for c in d)
-
-    active = tmax >= 0.0
-    best_ref[:, :] = jnp.where(active, jnp.minimum(tmax, BIG), -BIG)
-    bu_ref[:, :] = jnp.zeros_like(tmax)
-    bv_ref[:, :] = jnp.zeros_like(tmax)
-    tri_ref[:, :] = jnp.full(tmax.shape, -1, jnp.int32)
-    maxb0 = jnp.max(best_ref[:, :])
-
-    o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
-    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
-    lim_fn, process_fn = _closest_ival_drain_g(
-        o_refs, d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
-    _traverse_wl(box_s, lnode_s, lfc_s, wl_s, blo_ref, wrg_ref,
-                 o, idir, maxb0, lim_fn, process_fn,
-                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 None, k_bands=k_bands)
-
-    hit = tri_ref[:, :] >= 0
-    dist_ref[0] = jnp.where(hit, best_ref[:, :],
-                            jnp.where(active, BIG, -BIG))
-    u_ref[0] = bu_ref[:, :]
-    v_ref[0] = bv_ref[:, :]
-    tri_out[0] = jnp.maximum(tri_ref[:, :], 0)
-
-
-def _shadow_wl_kernel_g(box_hbm, lnode_hbm, lfc_hbm, wlw_hbm,
-                        blo_ref, wrg_ref,
-                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                        tm_ref, tris_hbm,
-                        out_ref, blocked_ref,
-                        tscratch, lq_ref, bits_ref, qlist_ref,
-                        box_s, lnode_s, lfc_s, wl_s, sems, ssem,
-                        *, k_bands: int):
-    """General per-ray-origin any-hit, drain-only."""
-    _stage_wl_tables(box_hbm, lnode_hbm, lfc_hbm, box_s, lnode_s, lfc_s,
-                     ssem)
-    _load_wl(wlw_hbm, wl_s, ssem)
-    o = (ox_ref[0], oy_ref[0], oz_ref[0])
-    d = (dx_ref[0], dy_ref[0], dz_ref[0])
-    tmax = tm_ref[0]
-    idir = tuple(1.0 / (c + 1e-8) for c in d)
-
-    active = tmax >= 0.0
-    blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
-    limit = jnp.where(active, tmax, -BIG)
-    maxb0 = jnp.max(limit)
-
-    o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
-    d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
-    lim_fn, process_fn = _shadow_ival_drain_g(
-        o_refs, d_refs, tm_ref, limit, tscratch, blocked_ref)
-    _traverse_wl(box_s, lnode_s, lfc_s, wl_s, blo_ref, wrg_ref,
-                 o, idir, maxb0, lim_fn, process_fn,
-                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 None, k_bands=k_bands)
-    out_ref[0] = blocked_ref[:, :]
-
-
-def _wl_scratches(box, lnode, lfc, wlw):
-    """Scratches shared by every worklist kernel (after the per-kernel
-    VMEM ray blocks): leaf DMA ring, queue, cull bits, survivor list,
-    staged tables, per-packet word rows, the cross-band bound, and the
-    DMA semaphores."""
-    return [
-        pltpu.VMEM((NBUF, IVAL_LEAF, TRI_ROW), jnp.float32),  # leaf ring
-        pltpu.SMEM((NBUF * 3,), jnp.int32),  # leaf queue
-        pltpu.SMEM((_BITS_WORDS,), jnp.int32),  # (leaf, quarter) bits
-        pltpu.SMEM((NBUF * NQ,), jnp.int32),  # compacted survivors
-        pltpu.SMEM((box.size,), jnp.float32),  # staged node boxes
-        pltpu.SMEM((lnode.size,), jnp.int32),  # staged leaf->node
-        pltpu.SMEM((lfc.size,), jnp.int32),  # staged first<<7|count
-        pltpu.SMEM((wlw.shape[1], wlw.shape[2]), jnp.int32),  # word rows
-        pltpu.SemaphoreType.DMA((NBUF,)),
-        pltpu.SemaphoreType.DMA((4,)),  # 3 stage + 1 word-row DMA
-    ]
-
-
-def _blo_spec(k_bands):
-    return pl.BlockSpec((1, 1, k_bands), lambda i: (i, 0, 0),
-                        memory_space=pltpu.SMEM)
-
-
-def _wrg_spec(n):
-    """Per-packet summary-word rows (1, 1, k_bands*NVL)."""
-    return pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
-                        memory_space=pltpu.SMEM)
-
-
-@partial(jax.jit, static_argnames=("p", "k_bands"))
-def _run_camera_wl(box, lnode, lfc, cam, tris, wlw, blo, wrg, p,
-                   k_bands):
-    return pl.pallas_call(
-        partial(_camera_wl_kernel, k_bands=k_bands),
-        grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
-        + [_smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-           _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
-           pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=[_blk()] * 7,
-        out_shape=(
-            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
-            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
-            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
-        ),
-        scratch_shapes=(
-            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
-            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _wl_scratches(box, lnode, lfc, wlw)
-        ),
-        interpret=_interpret(),
-    )(box, lnode, lfc, cam, wlw, blo, wrg, tris)
-
-
-@partial(jax.jit, static_argnames=("p", "k_bands"))
-def _run_camera_wl_stats(box, lnode, lfc, cam, tris, wlw, blo, wrg, p,
-                         k_bands):
-    return pl.pallas_call(
-        partial(_camera_wl_kernel_stats, k_bands=k_bands),
-        grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
-        + [_smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-           _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
-           pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=[_blk()] * 7 + [_stats_spec()],
-        out_shape=(
-            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
-            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
-            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
-            + [jax.ShapeDtypeStruct((p, 1, 8), jnp.int32)]
-        ),
-        scratch_shapes=(
-            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
-            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _wl_scratches(box, lnode, lfc, wlw)
-        ),
-        interpret=_interpret(),
-    )(box, lnode, lfc, cam, wlw, blo, wrg, tris)
-
-
-@partial(jax.jit, static_argnames=("k_bands",))
-def _run_shadow_wl(box, lnode, lfc, orig, dx, dy, dz, tm, tris, wlw,
-                   blo, wrg, k_bands):
-    p = dx.shape[0]
-    return pl.pallas_call(
-        partial(_shadow_wl_kernel, k_bands=k_bands),
-        grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
-        + [_smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-           _blo_spec(k_bands), _wrg_spec(wrg.shape[2])]
-        + [_blk()] * 4
-        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=_blk(),
-        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
-        scratch_shapes=(
-            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _wl_scratches(box, lnode, lfc, wlw)
-        ),
-        interpret=_interpret(),
-    )(box, lnode, lfc, orig, wlw, blo, wrg, dx, dy, dz, tm, tris)
-
-
-@partial(jax.jit, static_argnames=("k_bands",))
-def _run_shadow_wl_stats(box, lnode, lfc, orig, dx, dy, dz, tm, tris,
-                         wlw, blo, wrg, k_bands):
-    p = dx.shape[0]
-    return pl.pallas_call(
-        partial(_shadow_wl_kernel_stats, k_bands=k_bands),
-        grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
-        + [_smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-           _blo_spec(k_bands), _wrg_spec(wrg.shape[2])]
-        + [_blk()] * 4
-        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=[_blk(), _stats_spec()],
-        out_shape=[
-            jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
-            jax.ShapeDtypeStruct((p, 1, 8), jnp.int32),
-        ],
-        scratch_shapes=(
-            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _wl_scratches(box, lnode, lfc, wlw)
-        ),
-        interpret=_interpret(),
-    )(box, lnode, lfc, orig, wlw, blo, wrg, dx, dy, dz, tm, tris)
-
-
-@partial(jax.jit, static_argnames=("k_bands",))
-def _run_closest_wl_g(box, lnode, lfc, ox, oy, oz, dx, dy, dz, tm, tris,
-                      wlw, blo, wrg, k_bands):
-    p = ox.shape[0]
-    return pl.pallas_call(
-        partial(_closest_wl_kernel_g, k_bands=k_bands),
-        grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4
-        + [_blo_spec(k_bands), _wrg_spec(wrg.shape[2])]
-        + [_blk()] * 7
-        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=[_blk()] * 4,
-        out_shape=(
-            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
-            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
-        ),
-        scratch_shapes=(
-            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
-            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _wl_scratches(box, lnode, lfc, wlw)
-        ),
-        interpret=_interpret(),
-    )(box, lnode, lfc, wlw, blo, wrg, ox, oy, oz, dx, dy, dz, tm, tris)
-
-
-@partial(jax.jit, static_argnames=("k_bands",))
-def _run_shadow_wl_g(box, lnode, lfc, ox, oy, oz, dx, dy, dz, tm, tris,
-                     wlw, blo, wrg, k_bands):
-    p = ox.shape[0]
-    return pl.pallas_call(
-        partial(_shadow_wl_kernel_g, k_bands=k_bands),
-        grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4
-        + [_blo_spec(k_bands), _wrg_spec(wrg.shape[2])]
-        + [_blk()] * 7
-        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=_blk(),
-        out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
-        scratch_shapes=(
-            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _wl_scratches(box, lnode, lfc, wlw)
-        ),
-        interpret=_interpret(),
-    )(box, lnode, lfc, wlw, blo, wrg, ox, oy, oz, dx, dy, dz, tm, tris)
-
-
-def _wl_available(scene) -> bool:
-    return (_WL and getattr(scene, "wl_lnode", None) is not None
-            and getattr(scene, "pg_meta", None) is None
-            and scene.leaf_max <= IVAL_LEAF)
-
-
-# ---------------------------------------------------------------------------
-# Big-scene worklist kernels ("wlb"): scenes whose node tables exceed SMEM
-#
-# The drain-only design needs no node tables at all — the only SMEM-
-# resident per-leaf state is lfc (first<<7|count, 4 B/leaf, ~200k-leaf
-# budget) and the per-packet word rows. Leaf bboxes for the chunk culls
-# arrive by ENQUEUE-TIME DMA: 16 leaf boxes per 128-lane HBM row land in
-# the slot's SMEM row alongside the triangle DMA, so the per-ray slab
-# culls keep full walk-path tightness at any scene size. This REPLACES
-# the two-level paged walk (page pointer nodes, SMEM page cache, page
-# faults) for every wavefront the worklist kernels cover — the pages
-# remain only as the fallback for the legacy walk path.
-# ---------------------------------------------------------------------------
-
-WLB_LEAF_CAP = 220_000  # lfc SMEM budget (4 B/leaf)
-
-
-def pack_leaf_tables_big(bvh):
-    """Leaf tables for the big worklist kernels. Returns
-    (lf_boxv, lfc, boxrows, n_leaf) or None when out of range.
-
-    boxrows f32[ceil(Lp/16), 128]: leaf t's box at lanes (t&15)*8 + k
-    (lo.xyz, hi.xyz, 2 pad) — one 512-B DMA fetches 16 adjacent leaves'
-    boxes."""
-    leaf = np.where(bvh.count > 0)[0]
-    first = bvh.child[leaf].astype(np.int64)
-    cnt = bvh.count[leaf].astype(np.int64)
-    if (len(leaf) == 0 or len(leaf) > WLB_LEAF_CAP
+    if (len(leaf) == 0 or len(leaf) > WL_LEAF_CAP
             or first.max() >= (1 << 24) or cnt.max() >= 128):
         return None
     L = len(leaf)
@@ -3291,26 +2562,442 @@ def pack_leaf_tables_big(bvh):
     return lf_boxv, lfc, rows.reshape(-1, 128), L
 
 
-def _stage_wlb_tables(lfc_hbm, lfc_s, ssem):
+def _wl_block_shape(nv: int, k_bands: int):
+    """(rows, lanes) of the per-packet word block: per band 4 word rows
+    (word (blk, sb, g) at row b*5+g, lane blk*8+sb; bit p = leaf
+    blk*1024 + sb*128 + g*32 + p) + 1 summary row (bit g*8+sb of lane
+    blk = word (blk, sb, g) nonzero), plus one trailing band-floor row
+    (f32 bits, lane b = blo[b]); rows padded to a multiple of 8 (the
+    per-packet HBM->SMEM block DMA needs 8-aligned sublanes)."""
+    rp = max(128, -(-nv * 8 // 128) * 128)
+    return -(-(k_bands * 5 + 1) // 8) * 8, rp
+
+
+def _leaf_pass(lf_ref, im, iM, om, oM, mb, k_bands: int, n_leaf: int,
+               rp: int):
+    """Fused dense leaf pass: interval-test every leaf against the
+    packet bounds (values im/iM/om/oM: 3-tuples; mb scalar), assign
+    equal-count distance bands, and MXU-pack the verdict bits. Returns
+    the (k_bands*5+1, rp) i32 word block (see _wl_block_shape)."""
+    nv = lf_ref.shape[1]
+    r = nv * 8
+    tn = jnp.zeros((nv, 8, 128), jnp.float32)
+    tf = jnp.full((nv, 8, 128), mb, jnp.float32)
+    for k in range(3):
+        a1 = lf_ref[k] - om[k]
+        a2 = lf_ref[k] - oM[k]
+        c1 = lf_ref[3 + k] - om[k]
+        c2 = lf_ref[3 + k] - oM[k]
+        lo_min = jnp.minimum(jnp.minimum(a1 * im[k], a1 * iM[k]),
+                             jnp.minimum(a2 * im[k], a2 * iM[k]))
+        lo_max = jnp.maximum(jnp.maximum(a1 * im[k], a1 * iM[k]),
+                             jnp.maximum(a2 * im[k], a2 * iM[k]))
+        hi_min = jnp.minimum(jnp.minimum(c1 * im[k], c1 * iM[k]),
+                             jnp.minimum(c2 * im[k], c2 * iM[k]))
+        hi_max = jnp.maximum(jnp.maximum(c1 * im[k], c1 * iM[k]),
+                             jnp.maximum(c2 * im[k], c2 * iM[k]))
+        tn = jnp.maximum(tn, jnp.minimum(lo_min, hi_min))
+        tf = jnp.minimum(tf, jnp.maximum(lo_max, hi_max))
+    # padding slots must NEVER pass: the inverted-box convention is not
+    # enough — with a direction interval spanning zero the corner
+    # products of +-1e30 straddle +-inf and the conservative test passes
+    li = (jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 0) * 1024
+          + jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 1) * 128
+          + jax.lax.broadcasted_iota(jnp.int32, (nv, 8, 128), 2))
+    ok = (tn <= tf) & (tf > 0.0) & (li < n_leaf)
+
+    t0 = jnp.minimum(jnp.min(jnp.where(ok, tn, BIG)), mb)
+    span = jnp.maximum(mb - t0, 1e-6)
+    if k_bands > 1:
+        # histogram-EQUALIZED band edges: linear spacing wastes the
+        # front-to-back ordering (for primary rays most passing leaves
+        # sit near the camera, all in band 0); equal-count bands keep
+        # ~L/K leaves per band so the per-chunk bound refresh prunes
+        # like the stack walk's ordered descent did
+        nbins = 32
+        bidx = jnp.clip(((tn - t0) * (nbins / span)).astype(jnp.int32),
+                        0, nbins - 1)
+        hist = [jnp.sum(((bidx == j) & ok).astype(jnp.int32))
+                for j in range(nbins)]
+        c = list(hist)
+        for j in range(1, nbins):
+            c[j] = c[j] + c[j - 1]
+        total = jnp.maximum(c[nbins - 1], 1)
+        los = [t0]
+        for b in range(1, k_bands):
+            tgt = (total * b + k_bands - 1) // k_bands
+            e = sum((cj < tgt).astype(jnp.int32) for cj in c)
+            los.append(t0 + e.astype(jnp.float32) * (span / nbins))
+    else:
+        los = [t0]
+    band = jnp.zeros((nv, 8, 128), jnp.int32)
+    for b in range(1, k_bands):
+        band = band + (tn >= los[b]).astype(jnp.int32)
+
+    # MXU pack weights: lane l contributes 2^(l&15) to column l>>5
+    # (low 16 word bits, l&16 == 0) or 4 + (l>>5) (high bits)
+    l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    pw = jnp.left_shift(1, l & 15).astype(jnp.float32)
+    lsel = (cc == jax.lax.shift_right_logical(l, 5)) & (
+        (jax.lax.shift_right_logical(l, 4) & 1) == 0)
+    hsel = (cc == 4 + jax.lax.shift_right_logical(l, 5)) & (
+        (jax.lax.shift_right_logical(l, 4) & 1) == 1)
+    wp = jnp.where(lsel | hsel, pw, 0.0)
+    l2 = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+    ws = jnp.where(c2 == jax.lax.shift_right_logical(l2, 3),
+                   jnp.left_shift(1, l2 & 7).astype(jnp.float32), 0.0)
+
+    rows = []
+    for b in range(k_bands):
+        okb = ok & (band == b) if k_bands > 1 else ok
+        a2 = okb.reshape(nv * 8, 128).astype(jnp.float32)
+        pb = jax.lax.dot_general(wp, a2, (((0,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        lo = pb[0:4, :].astype(jnp.int32)
+        hi = pb[4:8, :].astype(jnp.int32)
+        w32 = lo | jnp.left_shift(hi, 16)  # (4, R)
+        nz = (w32 != 0).astype(jnp.float32)
+        m = jax.lax.dot_general(nz, ws, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.int32)  # (4, 128)
+        su = (m[0:1] | jnp.left_shift(m[1:2], 8)
+              | jnp.left_shift(m[2:3], 16) | jnp.left_shift(m[3:4], 24))
+        if rp > r:
+            w32 = jnp.pad(w32, ((0, 0), (0, rp - r)))
+        su = jnp.pad(su, ((0, 0), (0, rp - 128))) if rp > 128 else \
+            su[:, :rp]
+        rows.append(jnp.concatenate([w32, su], axis=0))
+    # band floors (empty band -> BIG so the skip fires without a scan)
+    lb = jax.lax.broadcasted_iota(jnp.int32, (1, rp), 1)
+    blo = jnp.full((1, rp), BIG, jnp.float32)
+    for b in range(k_bands):
+        # nonzero-ness, not max: summary words with bit 31 set are
+        # NEGATIVE i32 and a plain max returns 0 from the empty lanes
+        any_b = jnp.max(jnp.where(rows[b][4:5, :] != 0, 1, 0))
+        blo = jnp.where((lb == b) & (any_b != 0), los[b], blo)
+    rows.append(pltpu.bitcast(blo, jnp.int32))
+    nrows = k_bands * 5 + 1
+    pad_rows = -(-nrows // 8) * 8 - nrows
+    if pad_rows:
+        rows.append(jnp.zeros((pad_rows, rp), jnp.int32))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _load_wl(wlw_hbm, wl_s, ssem):
+    """DMA this packet's word block (the words kernel's output) into
+    SMEM. The leaf pass runs in its OWN slim pallas kernel per
+    wavefront: fusing it into the trace kernels measured the shadow
+    drain section ~3x slower at identical work counts — the pass's MXU/
+    hist code evicts the drain loops from the scalar core's instruction
+    memory on every scan<->drain alternation."""
+    cp = pltpu.make_async_copy(wlw_hbm.at[pl.program_id(0)], wl_s,
+                               ssem.at[3])
+    cp.start()
+    cp.wait()
+
+
+def _words_camera_kernel(cam_ref, lf_ref, out_ref, *, k_bands: int,
+                         n_leaf: int):
+    """Per-packet leaf pass for primary rays (raygen mirrored from
+    _camera_wl_body; cam f32[22] incl. root box)."""
+    pid = pl.program_id(0)
+    tiles_x = cam_ref[15].astype(jnp.int32)
+    tx = pid % tiles_x
+    ty = pid // tiles_x
+    px, py = _pixel_xy(tx, ty)
+    x = (px + 0.5 - cam_ref[12]) * cam_ref[14]
+    y = (cam_ref[13] - py - 0.5) * cam_ref[14]
+    dx = cam_ref[0] * x + cam_ref[3] * y + cam_ref[6]
+    dy = cam_ref[1] * x + cam_ref[4] * y + cam_ref[7]
+    dz = cam_ref[2] * x + cam_ref[5] * y + cam_ref[8]
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    d = (dx * inv_len, dy * inv_len, dz * inv_len)
+    o = (cam_ref[9], cam_ref[10], cam_ref[11])
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+    rlo = (cam_ref[16], cam_ref[17], cam_ref[18])
+    rhi = (cam_ref[19], cam_ref[20], cam_ref[21])
+    t1 = tuple((rlo[k] - o[k]) * idir[k] for k in range(3))
+    t2 = tuple((rhi[k] - o[k]) * idir[k] for k in range(3))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1[0], t2[0]), jnp.maximum(t1[1], t2[1])),
+        jnp.maximum(t1[2], t2[2]),
+    )
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1[0], t2[0]), jnp.minimum(t1[1], t2[1])),
+        jnp.minimum(t1[2], t2[2]),
+    )
+    t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
+    mb = jnp.max(t_exit) * 1.0001 + 1e-30
+    im, iM, om, oM = _bounds_of(o, d, idir)
+    out_ref[0] = _leaf_pass(lf_ref, im, iM, om, oM, mb, k_bands,
+                            n_leaf, out_ref.shape[2])
+
+
+def _words_shared_kernel(orig_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                         lf_ref, out_ref, *, k_bands: int, n_leaf: int):
+    o = (orig_ref[0], orig_ref[1], orig_ref[2])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+    limit = jnp.where(tm_ref[0] >= 0.0, tm_ref[0], -BIG)
+    mb = jnp.max(limit) * 1.0001 + 1e-30
+    im, iM, om, oM = _bounds_of(o, d, idir)
+    out_ref[0] = _leaf_pass(lf_ref, im, iM, om, oM, mb, k_bands,
+                            n_leaf, out_ref.shape[2])
+
+
+def _words_general_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                          dz_ref, tm_ref, lf_ref, out_ref, *,
+                          k_bands: int, n_leaf: int):
+    o = (ox_ref[0], oy_ref[0], oz_ref[0])
+    d = (dx_ref[0], dy_ref[0], dz_ref[0])
+    idir = tuple(1.0 / (c + 1e-8) for c in d)
+    limit = jnp.where(tm_ref[0] >= 0.0, jnp.minimum(tm_ref[0], BIG),
+                      -BIG)
+    mb = jnp.max(limit) * 1.0001 + 1e-30
+    im, iM, om, oM = _bounds_of(o, d, idir)
+    out_ref[0] = _leaf_pass(lf_ref, im, iM, om, oM, mb, k_bands,
+                            n_leaf, out_ref.shape[2])
+
+
+def _words_out(p, nv, k_bands):
+    rows, rp = _wl_block_shape(nv, k_bands)
+    return (pl.BlockSpec((1, rows, rp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct((p, rows, rp), jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("p", "k_bands", "n_leaf"))
+def _run_words_camera(cam, lf_boxv, p, k_bands, n_leaf):
+    spec, shape = _words_out(p, lf_boxv.shape[1], k_bands)
+    return pl.pallas_call(
+        partial(_words_camera_kernel, k_bands=k_bands, n_leaf=n_leaf),
+        grid=(p,),
+        in_specs=[_smem(), pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=shape,
+        interpret=_interpret(),
+    )(cam, lf_boxv)
+
+
+@partial(jax.jit, static_argnames=("k_bands", "n_leaf"))
+def _run_words_shared(orig, dx, dy, dz, tm, lf_boxv, k_bands, n_leaf):
+    p = dx.shape[0]
+    spec, shape = _words_out(p, lf_boxv.shape[1], k_bands)
+    return pl.pallas_call(
+        partial(_words_shared_kernel, k_bands=k_bands, n_leaf=n_leaf),
+        grid=(p,),
+        in_specs=[_smem()] + [_blk()] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=shape,
+        interpret=_interpret(),
+    )(orig, dx, dy, dz, tm, lf_boxv)
+
+
+@partial(jax.jit, static_argnames=("k_bands", "n_leaf"))
+def _run_words_general(ox, oy, oz, dx, dy, dz, tm, lf_boxv, k_bands,
+                       n_leaf):
+    p = dx.shape[0]
+    spec, shape = _words_out(p, lf_boxv.shape[1], k_bands)
+    return pl.pallas_call(
+        partial(_words_general_kernel, k_bands=k_bands, n_leaf=n_leaf),
+        grid=(p,),
+        in_specs=[_blk()] * 7 + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=shape,
+        interpret=_interpret(),
+    )(ox, oy, oz, dx, dy, dz, tm, lf_boxv)
+
+
+def _widen(lo, hi):
+    """Conservative widening of a reduced bound pair (guards f32
+    reassociation between the dense pass and the per-ray kernels)."""
+    w = 1e-6
+    return (lo - jnp.abs(lo) * w - 1e-30, hi + jnp.abs(hi) * w + 1e-30)
+
+
+def _bounds_of(o, d, idir):
+    """In-kernel per-packet interval bounds from (8,128)-style vectors
+    (or scalars for shared origins)."""
+    im, iM, om, oM = [], [], [], []
+    for k in range(3):
+        lo, hi = _widen(jnp.min(idir[k]), jnp.max(idir[k]))
+        im.append(lo)
+        iM.append(hi)
+        if getattr(o[k], "ndim", 0) == 0 or o[k].ndim == 0:
+            om.append(o[k])
+            oM.append(o[k])
+        else:
+            lo, hi = _widen(jnp.min(o[k]), jnp.max(o[k]))
+            om.append(lo)
+            oM.append(hi)
+    return tuple(im), tuple(iM), tuple(om), tuple(oM)
+
+
+def _traverse_wl(lfc_ref, wl_ref, o, idir, maxb0_bits, lim_fn,
+                 process_fn,
+                 tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
+                 stats_ref, browt, lbt_ref=None, *, k_bands: int,
+                 nv: int):
+    """Drain-only traversal: scan the per-band leaf bit words (the fused
+    leaf pass already did every interval test) and feed the leaf DMA
+    ring + chunk drain. No stack, no node meta, no per-pop SMEM chains —
+    the scalar core's serial work is one summary-word hop per populated
+    word plus ~10 ops per discovered leaf.
+
+    Bands run inside ONE while loop (state machine) so the large drain
+    body is instantiated exactly once (a static per-band unroll measured
+    ~3x slower — i-cache), and the leaf queue CARRIES over band
+    boundaries, draining only when the ring is full. Scan state
+    (b, s, sw, wid, word): pop a leaf bit, else hop to the next
+    populated word of summary s, else the next summary word, else enter
+    the next band (applying the band-floor skip with the bound of the
+    last drain — stale is conservative). ``stats_ref`` counters keep
+    their _traverse_ival meaning ([0] counts word hops)."""
+    chunk_drain = _make_chunk_drain(
+        o, idir, lim_fn, process_fn, tris_hbm, tscratch, sems,
+        lq_ref, bits_ref, qlist_ref, stats_ref, browt=browt,
+        lbt_ref=lbt_ref, bound_bits=True)
+
+    # garbage ids in never-written queue slots would be OOB SMEM reads
+    # in the staged-box-table culls (the round-4 fault mode) — zero once
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for i in range(NBUF):
+            lq_ref[i * 3 + 2] = 0
+
+    if stats_ref is not None:
+        for i in range(8):
+            stats_ref[0, 0, i] = 0
+
+    def _enq(nq, first, count, t):
+        if _PROF != "nodma":
+            _leaf_dma(tris_hbm, tscratch, sems, nq, first).start()
+            if browt is not None:
+                _boxrow_dma(browt[0], browt[1], browt[2], nq, t).start()
+        lq_ref[nq * 3] = first
+        lq_ref[nq * 3 + 1] = count
+        lq_ref[nq * 3 + 2] = t
+        if stats_ref is not None:
+            stats_ref[0, 0, 1] = stats_ref[0, 0, 1] + 1
+
+    def read_word(b, wid):
+        # wid = blk<<5 | g<<3 | sb
+        return wl_ref[b * 5 + (jax.lax.shift_right_logical(wid, 3) & 3),
+                      jax.lax.shift_right_logical(wid, 5) * 8
+                      + (wid & 7)]
+
+    def read_sum(b, s):
+        return wl_ref[b * 5 + 4, s]
+
+    def read_blo(b):
+        # raw f32 bits; compared against the bits-encoded bound (both
+        # non-negative floats, so integer order == float order)
+        return wl_ref[k_bands * 5, b]
+
+    def scan_body(c):
+        b, s, sw, wid, word, nq, mb = c
+
+        def pop(c):
+            b, s, sw, wid, word, nq, mb = c
+            low = word & (-word)
+            p = 31 - jax.lax.clz(low)
+            # leaf = blk*1024 + sb*128 + g*32 + p
+            t = (jnp.left_shift(jax.lax.shift_right_logical(wid, 5), 10)
+                 | jnp.left_shift(wid & 7, 7)
+                 | jnp.left_shift(jax.lax.shift_right_logical(wid, 3)
+                                  & 3, 5)
+                 | p)
+            fc = lfc_ref[t]
+            _enq(nq, jax.lax.shift_right_logical(fc, 7), fc & 0x7F, t)
+            return b, s, sw, wid, word & (word - 1), nq + 1, mb
+
+        def advance(c):
+            b, s, sw, wid, word, nq, mb = c
+            if stats_ref is not None:
+                stats_ref[0, 0, 0] = stats_ref[0, 0, 0] + 1
+
+            def from_sw(c):
+                b, s, sw, wid, word, nq, mb = c
+                low = sw & (-sw)
+                j = 31 - jax.lax.clz(low)  # j = g*8 + sb of block s
+                wid = (jnp.left_shift(s, 5)
+                       | jnp.left_shift(jax.lax.shift_right_logical(j, 3)
+                                        & 3, 3)
+                       | (j & 7))
+                return (b, s, sw & (sw - 1), wid, read_word(b, wid),
+                        nq, mb)
+
+            def from_s(c):
+                b, s, sw, wid, word, nq, mb = c
+                s = s + 1
+                return b, s, read_sum(b, s), wid, word, nq, mb
+
+            def next_band(c):
+                b, s, sw, wid, word, nq, mb = c
+                b = b + 1
+                bc = jnp.minimum(b, k_bands - 1)
+                # every leaf in band b has tn >= blo[b] (bands are
+                # assigned by comparing against these exact values;
+                # empty bands carry blo = BIG): skip once the packet
+                # bound is at or below the floor
+                skip = (b >= k_bands) | (read_blo(bc) >= mb)
+                s = jnp.where(skip, nv - 1, 0)
+                sw = jnp.where(skip, 0, read_sum(bc, 0))
+                return b, s, sw, wid, word, nq, mb
+
+            return jax.lax.cond(
+                sw != 0, from_sw,
+                lambda c: jax.lax.cond(c[1] + 1 < nv, from_s,
+                                       next_band, c),
+                c)
+
+        return jax.lax.cond(word != 0, pop, advance, c)
+
+    def outer(carry):
+        b, s, sw, wid, word, mb = carry
+        b, s, sw, wid, word, nq, _ = jax.lax.while_loop(
+            lambda c: (c[5] < NBUF) & (c[0] < k_bands),
+            scan_body, (b, s, sw, wid, word, 0, mb))
+        return b, s, sw, wid, word, chunk_drain(nq, mb)
+
+    jax.lax.while_loop(
+        lambda c: (c[0] < k_bands) & (c[5] > 0),
+        outer,
+        (jnp.int32(-1), jnp.int32(nv - 1), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0), maxb0_bits))
+
+
+def _stage_lfc(lfc_hbm, lfc_s, ssem, boxrows_hbm=None, lbt_s=None):
     @pl.when(pl.program_id(0) == 0)
     def _():
         cp = pltpu.make_async_copy(lfc_hbm, lfc_s, ssem.at[0])
         cp.start()
+        if lbt_s is not None:
+            cb = pltpu.make_async_copy(boxrows_hbm, lbt_s, ssem.at[1])
+            cb.start()
+            cb.wait()
         cp.wait()
 
 
-def _camera_wlb_kernel(lfc_hbm, cam_ref, wlw_hbm, blo_ref, wrg_ref,
-                       boxrows_hbm, tris_hbm,
-                       dist_ref, u_ref, v_ref, tri_out,
-                       dx_ref, dy_ref, dz_ref,
-                       best_ref, bu_ref, bv_ref, tri_ref,
-                       tscratch, lq_ref, bits_ref, qlist_ref,
-                       lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
-                       *, k_bands: int):
-    """Primary rays, big-scene worklist. cam layout extends
-    _camera_kernel's f32[16] with root lo.xyz (16:19) / hi.xyz (19:22)
-    (no SMEM node table to read the root box from)."""
-    _stage_wlb_tables(lfc_hbm, lfc_s, ssem)
+def _camera_wl_body(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm, wlw_hbm,
+                    dist_ref, u_ref, v_ref, tri_out,
+                    dx_ref, dy_ref, dz_ref, st_ref,
+                    best_ref, bu_ref, bv_ref, tri_ref,
+                    tscratch, lq_ref, bits_ref, qlist_ref,
+                    lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
+                    *, k_bands: int, nv: int):
+    """Primary rays: camera-fused raygen + drain-only traversal over the
+    words kernel's block. cam layout extends _camera_kernel's f32[16]
+    with root lo.xyz (16:19) / hi.xyz (19:22)."""
+    if _wl_stage_boxes(boxrows_hbm):
+        _stage_lfc(lfc_hbm, lfc_s, ssem, boxrows_hbm, lbrow_s)
+        browt, lbt = None, lbrow_s
+    else:
+        _stage_lfc(lfc_hbm, lfc_s, ssem)
+        browt, lbt = (boxrows_hbm, lbrow_s, bsems), None
     _load_wl(wlw_hbm, wl_s, ssem)
     pid = pl.program_id(0)
     tiles_x = cam_ref[15].astype(jnp.int32)
@@ -3346,6 +3033,7 @@ def _camera_wlb_kernel(lfc_hbm, cam_ref, wlw_hbm, blo_ref, wrg_ref,
         jnp.minimum(t1[2], t2[2]),
     )
     t_exit = jnp.where((tn <= tf) & (tf > 0.0), tf * 1.0001, 0.0)
+    mb_bits = jnp.max(pltpu.bitcast(jnp.maximum(t_exit, 0.0), jnp.int32))
 
     best_ref[:, :] = t_exit
     bu_ref[:, :] = jnp.zeros((RAY_SUB, RAY_LANE), jnp.float32)
@@ -3357,14 +3045,12 @@ def _camera_wlb_kernel(lfc_hbm, cam_ref, wlw_hbm, blo_ref, wrg_ref,
     dz_ref[0] = dz
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
 
-    maxb0 = jnp.max(t_exit)
     lim_fn, process_fn = _closest_ival_drain(
         d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
-    _traverse_wl(None, None, lfc_s, wl_s, blo_ref, wrg_ref,
-                 o, idir, maxb0, lim_fn, process_fn,
+    _traverse_wl(lfc_s, wl_s, o, idir, mb_bits, lim_fn, process_fn,
                  tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 None, k_bands=k_bands,
-                 browt=(boxrows_hbm, lbrow_s, bsems))
+                 st_ref, browt, lbt,
+                 k_bands=k_bands, nv=nv)
 
     dist_ref[0] = jnp.where(tri_ref[:, :] >= 0, best_ref[:, :], BIG)
     u_ref[0] = bu_ref[:, :]
@@ -3372,15 +3058,38 @@ def _camera_wlb_kernel(lfc_hbm, cam_ref, wlw_hbm, blo_ref, wrg_ref,
     tri_out[0] = tri_ref[:, :]
 
 
-def _shadow_wlb_kernel(lfc_hbm, orig_ref, wlw_hbm, blo_ref, wrg_ref,
-                       boxrows_hbm,
-                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
-                       out_ref, blocked_ref,
-                       tscratch, lq_ref, bits_ref, qlist_ref,
-                       lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
-                       *, k_bands: int):
-    """Shadow any-hit from the shared light origin, big-scene worklist."""
-    _stage_wlb_tables(lfc_hbm, lfc_s, ssem)
+def _camera_wl_kernel(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm, wlw_hbm,
+                      dist_ref, u_ref, v_ref, tri_out,
+                      dx_ref, dy_ref, dz_ref, *rest, k_bands, nv):
+    _camera_wl_body(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm, wlw_hbm,
+                    dist_ref, u_ref, v_ref, tri_out,
+                    dx_ref, dy_ref, dz_ref, None, *rest,
+                    k_bands=k_bands, nv=nv)
+
+
+def _camera_wl_kernel_stats(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm,
+                            wlw_hbm, dist_ref, u_ref, v_ref, tri_out,
+                            dx_ref, dy_ref, dz_ref, st_ref, *rest,
+                            k_bands, nv):
+    _camera_wl_body(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm, wlw_hbm,
+                    dist_ref, u_ref, v_ref, tri_out,
+                    dx_ref, dy_ref, dz_ref, st_ref, *rest,
+                    k_bands=k_bands, nv=nv)
+
+
+def _shadow_wl_body(lfc_hbm, orig_ref, boxrows_hbm,
+                    dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm, wlw_hbm,
+                    out_ref, st_ref, blocked_ref,
+                    tscratch, lq_ref, bits_ref, qlist_ref,
+                    lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
+                    *, k_bands: int, nv: int):
+    """Shadow any-hit from the shared light origin, worklist."""
+    if _wl_stage_boxes(boxrows_hbm):
+        _stage_lfc(lfc_hbm, lfc_s, ssem, boxrows_hbm, lbrow_s)
+        browt, lbt = None, lbrow_s
+    else:
+        _stage_lfc(lfc_hbm, lfc_s, ssem)
+        browt, lbt = (boxrows_hbm, lbrow_s, bsems), None
     _load_wl(wlw_hbm, wl_s, ssem)
     o = (orig_ref[0], orig_ref[1], orig_ref[2])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
@@ -3390,29 +3099,50 @@ def _shadow_wlb_kernel(lfc_hbm, orig_ref, wlw_hbm, blo_ref, wrg_ref,
     active = tmax >= 0.0
     blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
     limit = jnp.where(active, tmax, -BIG)
-    maxb0 = jnp.max(limit)
+    mb_bits = jnp.max(pltpu.bitcast(jnp.maximum(limit, 0.0), jnp.int32))
+
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
     lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
                                             tscratch, blocked_ref)
-    _traverse_wl(None, None, lfc_s, wl_s, blo_ref, wrg_ref,
-                 o, idir, maxb0, lim_fn, process_fn,
+    _traverse_wl(lfc_s, wl_s, o, idir, mb_bits, lim_fn, process_fn,
                  tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 None, k_bands=k_bands,
-                 browt=(boxrows_hbm, lbrow_s, bsems))
+                 st_ref, browt, lbt,
+                 k_bands=k_bands, nv=nv)
     out_ref[0] = blocked_ref[:, :]
 
 
-def _closest_wlb_kernel_g(lfc_hbm, wlw_hbm, blo_ref, wrg_ref,
-                          boxrows_hbm,
-                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                          tm_ref, tris_hbm,
-                          dist_ref, u_ref, v_ref, tri_out,
-                          best_ref, bu_ref, bv_ref, tri_ref,
-                          tscratch, lq_ref, bits_ref, qlist_ref,
-                          lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
-                          *, k_bands: int):
-    """General per-ray-origin closest hit, big-scene worklist."""
-    _stage_wlb_tables(lfc_hbm, lfc_s, ssem)
+def _shadow_wl_kernel(lfc_hbm, orig_ref, boxrows_hbm,
+                      dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm, wlw_hbm,
+                      out_ref, *rest, k_bands, nv):
+    _shadow_wl_body(lfc_hbm, orig_ref, boxrows_hbm,
+                    dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm, wlw_hbm,
+                    out_ref, None, *rest, k_bands=k_bands, nv=nv)
+
+
+def _shadow_wl_kernel_stats(lfc_hbm, orig_ref, boxrows_hbm,
+                            dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm,
+                            wlw_hbm, out_ref, st_ref, *rest, k_bands,
+                            nv):
+    _shadow_wl_body(lfc_hbm, orig_ref, boxrows_hbm,
+                    dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm, wlw_hbm,
+                    out_ref, st_ref, *rest, k_bands=k_bands, nv=nv)
+
+
+def _closest_wl_kernel_g(lfc_hbm, boxrows_hbm,
+                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                         tm_ref, tris_hbm, wlw_hbm,
+                         dist_ref, u_ref, v_ref, tri_out,
+                         best_ref, bu_ref, bv_ref, tri_ref,
+                         tscratch, lq_ref, bits_ref, qlist_ref,
+                         lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
+                         *, k_bands: int, nv: int):
+    """General per-ray-origin closest hit (bounce rays), worklist."""
+    if _wl_stage_boxes(boxrows_hbm):
+        _stage_lfc(lfc_hbm, lfc_s, ssem, boxrows_hbm, lbrow_s)
+        browt, lbt = None, lbrow_s
+    else:
+        _stage_lfc(lfc_hbm, lfc_s, ssem)
+        browt, lbt = (boxrows_hbm, lbrow_s, bsems), None
     _load_wl(wlw_hbm, wl_s, ssem)
     o = (ox_ref[0], oy_ref[0], oz_ref[0])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
@@ -3424,17 +3154,17 @@ def _closest_wlb_kernel_g(lfc_hbm, wlw_hbm, blo_ref, wrg_ref,
     bu_ref[:, :] = jnp.zeros_like(tmax)
     bv_ref[:, :] = jnp.zeros_like(tmax)
     tri_ref[:, :] = jnp.full(tmax.shape, -1, jnp.int32)
-    maxb0 = jnp.max(best_ref[:, :])
+    mb_bits = jnp.max(pltpu.bitcast(
+        jnp.maximum(best_ref[:, :], 0.0), jnp.int32))
 
     o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
     lim_fn, process_fn = _closest_ival_drain_g(
         o_refs, d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
-    _traverse_wl(None, None, lfc_s, wl_s, blo_ref, wrg_ref,
-                 o, idir, maxb0, lim_fn, process_fn,
+    _traverse_wl(lfc_s, wl_s, o, idir, mb_bits, lim_fn, process_fn,
                  tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 None, k_bands=k_bands,
-                 browt=(boxrows_hbm, lbrow_s, bsems))
+                 None, browt, lbt,
+                 k_bands=k_bands, nv=nv)
 
     hit = tri_ref[:, :] >= 0
     dist_ref[0] = jnp.where(hit, best_ref[:, :],
@@ -3444,16 +3174,20 @@ def _closest_wlb_kernel_g(lfc_hbm, wlw_hbm, blo_ref, wrg_ref,
     tri_out[0] = jnp.maximum(tri_ref[:, :], 0)
 
 
-def _shadow_wlb_kernel_g(lfc_hbm, wlw_hbm, blo_ref, wrg_ref,
-                         boxrows_hbm,
-                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                         tm_ref, tris_hbm,
-                         out_ref, blocked_ref,
-                         tscratch, lq_ref, bits_ref, qlist_ref,
-                         lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
-                         *, k_bands: int):
-    """General per-ray-origin any-hit, big-scene worklist."""
-    _stage_wlb_tables(lfc_hbm, lfc_s, ssem)
+def _shadow_wl_kernel_g(lfc_hbm, boxrows_hbm,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tm_ref, tris_hbm, wlw_hbm,
+                        out_ref, blocked_ref,
+                        tscratch, lq_ref, bits_ref, qlist_ref,
+                        lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
+                        *, k_bands: int, nv: int):
+    """General per-ray-origin any-hit, worklist."""
+    if _wl_stage_boxes(boxrows_hbm):
+        _stage_lfc(lfc_hbm, lfc_s, ssem, boxrows_hbm, lbrow_s)
+        browt, lbt = None, lbrow_s
+    else:
+        _stage_lfc(lfc_hbm, lfc_s, ssem)
+        browt, lbt = (boxrows_hbm, lbrow_s, bsems), None
     _load_wl(wlw_hbm, wl_s, ssem)
     o = (ox_ref[0], oy_ref[0], oz_ref[0])
     d = (dx_ref[0], dy_ref[0], dz_ref[0])
@@ -3463,38 +3197,52 @@ def _shadow_wlb_kernel_g(lfc_hbm, wlw_hbm, blo_ref, wrg_ref,
     active = tmax >= 0.0
     blocked_ref[:, :] = jnp.zeros(tmax.shape, jnp.float32)
     limit = jnp.where(active, tmax, -BIG)
-    maxb0 = jnp.max(limit)
+    mb_bits = jnp.max(pltpu.bitcast(jnp.maximum(limit, 0.0), jnp.int32))
 
     o_refs = (ox_ref.at[0], oy_ref.at[0], oz_ref.at[0])
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
     lim_fn, process_fn = _shadow_ival_drain_g(
         o_refs, d_refs, tm_ref, limit, tscratch, blocked_ref)
-    _traverse_wl(None, None, lfc_s, wl_s, blo_ref, wrg_ref,
-                 o, idir, maxb0, lim_fn, process_fn,
+    _traverse_wl(lfc_s, wl_s, o, idir, mb_bits, lim_fn, process_fn,
                  tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
-                 None, k_bands=k_bands,
-                 browt=(boxrows_hbm, lbrow_s, bsems))
+                 None, browt, lbt,
+                 k_bands=k_bands, nv=nv)
     out_ref[0] = blocked_ref[:, :]
 
 
-def _wlb_scratches(lfc, wlw):
+WL_BOX_SMEM_CAP = 384 * 1024  # stage the box-row table when it fits
+
+
+def _wl_stage_boxes(boxrows) -> bool:
+    return boxrows.shape[0] * 512 <= WL_BOX_SMEM_CAP
+
+
+def _wl_scratches(lfc, wlw, boxrows):
     return [
         pltpu.VMEM((NBUF, IVAL_LEAF, TRI_ROW), jnp.float32),  # leaf ring
         pltpu.SMEM((NBUF * 3,), jnp.int32),  # leaf queue
         pltpu.SMEM((_BITS_WORDS,), jnp.int32),  # (leaf, quarter) bits
         pltpu.SMEM((NBUF * NQ,), jnp.int32),  # compacted survivors
         pltpu.SMEM((lfc.size,), jnp.int32),  # staged first<<7|count
-        pltpu.SMEM((wlw.shape[1], wlw.shape[2]), jnp.int32),  # word rows
-        pltpu.SMEM((NBUF, 128), jnp.float32),  # DMA'd leaf box rows
+        pltpu.SMEM((wlw.shape[1], wlw.shape[2]), jnp.int32),  # word block
+        # leaf box rows: the WHOLE staged table when it fits, else
+        # NBUF per-enqueue DMA slots
+        pltpu.SMEM(((boxrows.shape[0], 128)
+                    if _wl_stage_boxes(boxrows) else (NBUF, 128)),
+                   jnp.float32),
         pltpu.SemaphoreType.DMA((NBUF,)),  # triangle ring
         pltpu.SemaphoreType.DMA((NBUF,)),  # box rows
-        pltpu.SemaphoreType.DMA((4,)),  # stage + word-row DMA
+        pltpu.SemaphoreType.DMA((4,)),  # lfc stage + word-block DMA
     ]
 
 
+def _hbm():
+    return pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+
+
 def _cam_vec_rb(camera, width, height, tiles_x, root_lo, root_hi):
-    """_cam_vec extended with the scene root box (wlb kernels have no
-    SMEM node table to read it from)."""
+    """_cam_vec extended with the scene root box (worklist kernels have
+    no SMEM node table to read it from)."""
     return jnp.concatenate([
         _cam_vec(camera, width, height, tiles_x),
         jnp.asarray(root_lo, jnp.float32),
@@ -3502,16 +3250,12 @@ def _cam_vec_rb(camera, width, height, tiles_x, root_lo, root_hi):
     ])
 
 
-@partial(jax.jit, static_argnames=("p", "k_bands"))
-def _run_camera_wlb(lfc, cam, tris, wlw, blo, wrg, boxrows, p, k_bands):
+@partial(jax.jit, static_argnames=("p", "k_bands", "nv"))
+def _run_camera_wl(lfc, cam, tris, boxrows, wlw, p, k_bands, nv):
     return pl.pallas_call(
-        partial(_camera_wlb_kernel, k_bands=k_bands),
+        partial(_camera_wl_kernel, k_bands=k_bands, nv=nv),
         grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        in_specs=[_hbm(), _smem(), _hbm(), _hbm(), _hbm()],
         out_specs=[_blk()] * 7,
         out_shape=(
             [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
@@ -3521,48 +3265,84 @@ def _run_camera_wlb(lfc, cam, tris, wlw, blo, wrg, boxrows, p, k_bands):
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _wlb_scratches(lfc, wlw)
+            + _wl_scratches(lfc, wlw, boxrows)
         ),
         interpret=_interpret(),
-    )(lfc, cam, wlw, blo, wrg, boxrows, tris)
+    )(lfc, cam, boxrows, tris, wlw)
 
 
-@partial(jax.jit, static_argnames=("k_bands",))
-def _run_shadow_wlb(lfc, orig, dx, dy, dz, tm, tris, wlw, blo, wrg,
-                    boxrows, k_bands):
+@partial(jax.jit, static_argnames=("p", "k_bands", "nv"))
+def _run_camera_wl_stats(lfc, cam, tris, boxrows, wlw, p, k_bands, nv):
+    return pl.pallas_call(
+        partial(_camera_wl_kernel_stats, k_bands=k_bands, nv=nv),
+        grid=(p,),
+        in_specs=[_hbm(), _smem(), _hbm(), _hbm(), _hbm()],
+        out_specs=[_blk()] * 7 + [_stats_spec()],
+        out_shape=(
+            [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((p, 1, 8), jnp.int32)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
+            + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
+            + _wl_scratches(lfc, wlw, boxrows)
+        ),
+        interpret=_interpret(),
+    )(lfc, cam, boxrows, tris, wlw)
+
+
+@partial(jax.jit, static_argnames=("k_bands", "nv"))
+def _run_shadow_wl(lfc, orig, dx, dy, dz, tm, tris, boxrows, wlw,
+                   k_bands, nv):
     p = dx.shape[0]
     return pl.pallas_call(
-        partial(_shadow_wlb_kernel, k_bands=k_bands),
+        partial(_shadow_wl_kernel, k_bands=k_bands, nv=nv),
         grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  _smem(), pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
-        + [_blk()] * 4
-        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        in_specs=[_hbm(), _smem(), _hbm()] + [_blk()] * 4
+        + [_hbm(), _hbm()],
         out_specs=_blk(),
         out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _wlb_scratches(lfc, wlw)
+            + _wl_scratches(lfc, wlw, boxrows)
         ),
         interpret=_interpret(),
-    )(lfc, orig, wlw, blo, wrg, boxrows, dx, dy, dz, tm, tris)
+    )(lfc, orig, boxrows, dx, dy, dz, tm, tris, wlw)
 
 
-@partial(jax.jit, static_argnames=("k_bands",))
-def _run_closest_wlb_g(lfc, ox, oy, oz, dx, dy, dz, tm, tris, wlw, blo,
-                       wrg, boxrows, k_bands):
+@partial(jax.jit, static_argnames=("k_bands", "nv"))
+def _run_shadow_wl_stats(lfc, orig, dx, dy, dz, tm, tris, boxrows,
+                         wlw, k_bands, nv):
+    p = dx.shape[0]
+    return pl.pallas_call(
+        partial(_shadow_wl_kernel_stats, k_bands=k_bands, nv=nv),
+        grid=(p,),
+        in_specs=[_hbm(), _smem(), _hbm()] + [_blk()] * 4
+        + [_hbm(), _hbm()],
+        out_specs=[_blk(), _stats_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((p, 1, 8), jnp.int32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
+            + _wl_scratches(lfc, wlw, boxrows)
+        ),
+        interpret=_interpret(),
+    )(lfc, orig, boxrows, dx, dy, dz, tm, tris, wlw)
+
+
+@partial(jax.jit, static_argnames=("k_bands", "nv"))
+def _run_closest_wl_g(lfc, ox, oy, oz, dx, dy, dz, tm, tris, boxrows,
+                      wlw, k_bands, nv):
     p = ox.shape[0]
     return pl.pallas_call(
-        partial(_closest_wlb_kernel_g, k_bands=k_bands),
+        partial(_closest_wl_kernel_g, k_bands=k_bands, nv=nv),
         grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
-        + [_blk()] * 7
-        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        in_specs=[_hbm(), _hbm()] + [_blk()] * 7
+        + [_hbm(), _hbm()],
         out_specs=[_blk()] * 4,
         out_shape=(
             [jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32)] * 3
@@ -3571,37 +3351,34 @@ def _run_closest_wlb_g(lfc, ox, oy, oz, dx, dy, dz, tm, tris, wlw, blo,
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)] * 3
             + [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.int32)]
-            + _wlb_scratches(lfc, wlw)
+            + _wl_scratches(lfc, wlw, boxrows)
         ),
         interpret=_interpret(),
-    )(lfc, wlw, blo, wrg, boxrows, ox, oy, oz, dx, dy, dz, tm, tris)
+    )(lfc, boxrows, ox, oy, oz, dx, dy, dz, tm, tris, wlw)
 
 
-@partial(jax.jit, static_argnames=("k_bands",))
-def _run_shadow_wlb_g(lfc, ox, oy, oz, dx, dy, dz, tm, tris, wlw, blo,
-                      wrg, boxrows, k_bands):
+@partial(jax.jit, static_argnames=("k_bands", "nv"))
+def _run_shadow_wl_g(lfc, ox, oy, oz, dx, dy, dz, tm, tris, boxrows,
+                     wlw, k_bands, nv):
     p = ox.shape[0]
     return pl.pallas_call(
-        partial(_shadow_wlb_kernel_g, k_bands=k_bands),
+        partial(_shadow_wl_kernel_g, k_bands=k_bands, nv=nv),
         grid=(p,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  _blo_spec(k_bands), _wrg_spec(wrg.shape[2]),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
-        + [_blk()] * 7
-        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        in_specs=[_hbm(), _hbm()] + [_blk()] * 7
+        + [_hbm(), _hbm()],
         out_specs=_blk(),
         out_shape=jax.ShapeDtypeStruct((p, RAY_SUB, RAY_LANE), jnp.float32),
         scratch_shapes=(
             [pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)]  # blocked
-            + _wlb_scratches(lfc, wlw)
+            + _wl_scratches(lfc, wlw, boxrows)
         ),
         interpret=_interpret(),
-    )(lfc, wlw, blo, wrg, boxrows, ox, oy, oz, dx, dy, dz, tm, tris)
+    )(lfc, boxrows, ox, oy, oz, dx, dy, dz, tm, tris, wlw)
 
 
-def _wlb_available(scene) -> bool:
-    return (_WL and getattr(scene, "wl_boxrows", None) is not None)
+def _wl_available(scene) -> bool:
+    return (_WL and getattr(scene, "wl_boxrows", None) is not None
+            and scene.leaf_max <= IVAL_LEAF)
 
 
 # ---------------------------------------------------------------------------
@@ -3698,30 +3475,17 @@ def camera_trace(scene, camera, width: int, height: int):
     p = tiles_x * (height // TILE)
     cam = _cam_vec(camera, width, height, tiles_x)
 
-    if _wlb_available(scene):
-        # big-scene drain-only worklist: no node tables, leaf boxes by
-        # enqueue-time row DMA — replaces the two-level paged walk
-        wlw, blo, wrg = _camera_wl_words(
-            scene.lf_boxv, camera, width, height,
-            scene.node_lo[0], scene.node_hi[0], WL_BANDS, scene.wl_nl)
+    if _wl_available(scene):
+        # fused drain-only worklist: the in-kernel leaf pass replaces
+        # both the node-mask pass and the walk; leaf boxes by
+        # enqueue-time row DMA, so the same kernel serves any scene size
         cam_rb = _cam_vec_rb(camera, width, height, tiles_x,
                              scene.node_lo[0], scene.node_hi[0])
-        dist, u, v, tri, dx, dy, dz = _run_camera_wlb(
-            scene.wl_lfc, cam_rb, shared_rows(scene.pk_tris, camera.pos),
-            wlw, blo, wrg, scene.wl_boxrows, p, WL_BANDS)
-        f = lambda a: a.reshape(-1)
-        return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
-
-    if _wl_available(scene):
-        # drain-only worklist kernels: the XLA leaf pass replaces both
-        # the node-mask pass and the in-kernel walk
-        wlw, blo, wrg = _camera_wl_words(
-            scene.lf_boxv, camera, width, height,
-            scene.node_lo[0], scene.node_hi[0], WL_BANDS, scene.wl_nl)
+        wlw = _run_words_camera(cam_rb, scene.lf_boxv, p, WL_BANDS,
+                                scene.wl_nl)
         dist, u, v, tri, dx, dy, dz = _run_camera_wl(
-            scene.pk_box, scene.wl_lnode, scene.wl_lfc, cam,
-            shared_rows(scene.pk_tris, camera.pos), wlw, blo, wrg, p,
-            WL_BANDS)
+            scene.wl_lfc, cam_rb, shared_rows(scene.pk_tris, camera.pos),
+            scene.wl_boxrows, wlw, p, WL_BANDS, scene.lf_boxv.shape[1])
         f = lambda a: a.reshape(-1)
         return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
 
@@ -3782,13 +3546,13 @@ def camera_trace_stats(scene, camera, width: int, height: int):
     p = tiles_x * (height // TILE)
     cam = _cam_vec(camera, width, height, tiles_x)
     if _wl_available(scene):
-        wlw, blo, wrg = _camera_wl_words(
-            scene.lf_boxv, camera, width, height,
-            scene.node_lo[0], scene.node_hi[0], WL_BANDS, scene.wl_nl)
+        cam_rb = _cam_vec_rb(camera, width, height, tiles_x,
+                             scene.node_lo[0], scene.node_hi[0])
+        wlw = _run_words_camera(cam_rb, scene.lf_boxv, p, WL_BANDS,
+                                scene.wl_nl)
         out = _run_camera_wl_stats(
-            scene.pk_box, scene.wl_lnode, scene.wl_lfc, cam,
-            shared_rows(scene.pk_tris, camera.pos), wlw, blo, wrg, p,
-            WL_BANDS)
+            scene.wl_lfc, cam_rb, shared_rows(scene.pk_tris, camera.pos),
+            scene.wl_boxrows, wlw, p, WL_BANDS, scene.lf_boxv.shape[1])
     else:
         masks = (_camera_mask_words(scene.mk_boxv, camera, width, height,
                                     scene.node_lo[0], scene.node_hi[0])
@@ -3815,15 +3579,13 @@ def any_hit_shared_stats(scene, light_pos, d3, tmax):
     orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
     pk = _pk
     if _wl_available(scene):
-        wlw, blo, wrg = _shared_wl_words(scene.lf_boxv, orig, pk(dx),
-                                         pk(dy), pk(dz), pk(tm), 1,
-                                         scene.wl_nl)
+        wlw = _run_words_shared(orig, pk(dx), pk(dy), pk(dz), pk(tm),
+                                scene.lf_boxv, 1, scene.wl_nl)
         out, stats = _run_shadow_wl_stats(
-            scene.pk_box, scene.wl_lnode, scene.wl_lfc, orig,
-            pk(dx), pk(dy), pk(dz), pk(tm),
+            scene.wl_lfc, orig, pk(dx), pk(dy), pk(dz), pk(tm),
             shared_rows(scene.pk_tris,
                         jnp.asarray(light_pos, jnp.float32)),
-            wlw, blo, wrg, 1,
+            scene.wl_boxrows, wlw, 1, scene.lf_boxv.shape[1],
         )
         return out.reshape(-1)[:n] > 0.0, stats.reshape(-1, 8)
     masks = (_shared_mask_words(scene.mk_boxv, orig, pk(dx), pk(dy),
@@ -3944,31 +3706,17 @@ def closest_hit_c(scene, o3, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     pk = _pk
     paged = getattr(scene, "pg_meta", None) is not None
-    if _wlb_available(scene):
-        ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
-        dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
-                                        unit_fallback=True)
-        wlw, blo, wrg = _general_wl_words(
-            scene.lf_boxv, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
-            pk(dz), pk(tm), WL_BANDS, scene.wl_nl)
-        dist, u, v, tri = _run_closest_wlb_g(
-            scene.wl_lfc, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
-            pk(dz), pk(tm), scene.pk_tris, wlw, blo, wrg,
-            scene.wl_boxrows, WL_BANDS,
-        )
-        f = lambda a: a.reshape(-1)[:n]
-        return f(dist), f(u), f(v), f(tri)
     if _wl_available(scene):
         ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
         dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
                                         unit_fallback=True)
-        wlw, blo, wrg = _general_wl_words(
-            scene.lf_boxv, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
-            pk(dz), pk(tm), WL_BANDS, scene.wl_nl)
+        wlw = _run_words_general(pk(ox), pk(oy), pk(oz), pk(dx),
+                                 pk(dy), pk(dz), pk(tm), scene.lf_boxv,
+                                 WL_BANDS, scene.wl_nl)
         dist, u, v, tri = _run_closest_wl_g(
-            scene.pk_box, scene.wl_lnode, scene.wl_lfc,
-            pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
-            scene.pk_tris, wlw, blo, wrg, WL_BANDS,
+            scene.wl_lfc, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
+            pk(dz), pk(tm), scene.pk_tris, scene.wl_boxrows,
+            wlw, WL_BANDS, scene.lf_boxv.shape[1],
         )
         f = lambda a: a.reshape(-1)[:n]
         return f(dist), f(u), f(v), f(tri)
@@ -4013,28 +3761,15 @@ def any_hit_shared(scene, light_pos, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     orig = jnp.pad(jnp.asarray(light_pos, jnp.float32), (0, 1))
     pk = _pk
-    if _wlb_available(scene):
-        wlw, blo, wrg = _shared_wl_words(scene.lf_boxv, orig, pk(dx),
-                                         pk(dy), pk(dz), pk(tm), 1,
-                                         scene.wl_nl)
-        out = _run_shadow_wlb(
+    if _wl_available(scene):
+        # any-hit needs no ordering: one band, scan-and-drain
+        wlw = _run_words_shared(orig, pk(dx), pk(dy), pk(dz), pk(tm),
+                                scene.lf_boxv, 1, scene.wl_nl)
+        out = _run_shadow_wl(
             scene.wl_lfc, orig, pk(dx), pk(dy), pk(dz), pk(tm),
             shared_rows(scene.pk_tris,
                         jnp.asarray(light_pos, jnp.float32)),
-            wlw, blo, wrg, scene.wl_boxrows, 1,
-        )
-        return out.reshape(-1)[:n] > 0.0
-    if _wl_available(scene):
-        # any-hit needs no ordering: one band, scan-and-drain
-        wlw, blo, wrg = _shared_wl_words(scene.lf_boxv, orig, pk(dx),
-                                         pk(dy), pk(dz), pk(tm), 1,
-                                         scene.wl_nl)
-        out = _run_shadow_wl(
-            scene.pk_box, scene.wl_lnode, scene.wl_lfc, orig,
-            pk(dx), pk(dy), pk(dz), pk(tm),
-            shared_rows(scene.pk_tris,
-                        jnp.asarray(light_pos, jnp.float32)),
-            wlw, blo, wrg, 1,
+            scene.wl_boxrows, wlw, 1, scene.lf_boxv.shape[1],
         )
         return out.reshape(-1)[:n] > 0.0
     paged = getattr(scene, "pg_meta", None) is not None
@@ -4097,30 +3832,17 @@ def any_hit_c(scene, o3, d3, tmax):
     tm, _ = _pad_flat(tmax, -BIG)
     pk = _pk
     paged = getattr(scene, "pg_meta", None) is not None
-    if _wlb_available(scene):
-        ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
-        dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
-                                        unit_fallback=True)
-        wlw, blo, wrg = _general_wl_words(
-            scene.lf_boxv, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
-            pk(dz), pk(tm), 1, scene.wl_nl)
-        out = _run_shadow_wlb_g(
-            scene.wl_lfc, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
-            pk(dz), pk(tm), scene.pk_tris, wlw, blo, wrg,
-            scene.wl_boxrows, 1,
-        )
-        return out.reshape(-1)[:n] > 0.0
     if _wl_available(scene):
         ox, oy, oz = _substitute_masked((ox, oy, oz), tm)
         dx, dy, dz = _substitute_masked((dx, dy, dz), tm,
                                         unit_fallback=True)
-        wlw, blo, wrg = _general_wl_words(
-            scene.lf_boxv, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
-            pk(dz), pk(tm), 1, scene.wl_nl)
+        wlw = _run_words_general(pk(ox), pk(oy), pk(oz), pk(dx),
+                                 pk(dy), pk(dz), pk(tm), scene.lf_boxv,
+                                 1, scene.wl_nl)
         out = _run_shadow_wl_g(
-            scene.pk_box, scene.wl_lnode, scene.wl_lfc,
-            pk(ox), pk(oy), pk(oz), pk(dx), pk(dy), pk(dz), pk(tm),
-            scene.pk_tris, wlw, blo, wrg, 1,
+            scene.wl_lfc, pk(ox), pk(oy), pk(oz), pk(dx), pk(dy),
+            pk(dz), pk(tm), scene.pk_tris, scene.wl_boxrows,
+            wlw, 1, scene.lf_boxv.shape[1],
         )
         return out.reshape(-1)[:n] > 0.0
     if paged or scene.leaf_max <= IVAL_LEAF:

@@ -85,10 +85,9 @@ class TracedScene:
     # planar LEAF boxes for the per-packet XLA leaf pass + the permuted
     # leaf->node and first<<7|count SMEM tables. None => walk kernels.
     lf_boxv: Optional[jnp.ndarray] = None
-    wl_lnode: Optional[jnp.ndarray] = None
     wl_lfc: Optional[jnp.ndarray] = None
-    # big-scene worklist: 16 leaf boxes per 128-lane row, DMA'd per
-    # enqueue (pack_leaf_tables_big); set => wl_lnode is None
+    # 16 leaf boxes per 128-lane row, DMA'd per enqueue for the chunk
+    # culls (pack_leaf_tables)
     wl_boxrows: Optional[jnp.ndarray] = None
     wl_nl: int = static_field(default=0)  # real (unpadded) leaf count
     # Component-planar (SoA) shading arrays for the packed fast path:
@@ -169,26 +168,30 @@ def make_traced_scene(
     from ..ops.traverse_pallas import (
         IVAL_LEAF,
         pack_leaf_tables,
-        pack_leaf_tables_big,
         pack_scene_arrays,
         pack_scene_arrays_paged,
     )
 
     pg_meta = pg_box = mk_boxv = None
-    lf_boxv = wl_lnode = wl_lfc = wl_boxrows = None
+    lf_boxv = wl_lfc = wl_boxrows = None
     wl_nl = 0
     mk_off = mk_cap = 0
+
+    def _pack_wl():
+        nonlocal lf_boxv, wl_lfc, wl_boxrows, wl_nl
+        if leaf_max <= IVAL_LEAF:
+            wl = pack_leaf_tables(bvh)
+            if wl is not None:
+                lf_boxv, wl_lfc, wl_boxrows = (dev(wl[0]), dev(wl[1]),
+                                               dev(wl[2]))
+                wl_nl = wl[3]
+
     try:
         pk_meta, pk_box, pk_tris, mk_boxv, mk_off = pack_scene_arrays(
             bvh, g)
         pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
         mk_boxv = dev(mk_boxv)
-        if leaf_max <= IVAL_LEAF:
-            wl = pack_leaf_tables(bvh)
-            if wl is not None:
-                lf_boxv, wl_lnode, wl_lfc = (dev(wl[0]), dev(wl[1]),
-                                             dev(wl[2]))
-                wl_nl = wl[3]
+        _pack_wl()
     except ValueError:
         try:  # over the SMEM node cap: two-level page layout
             (pk_meta, pk_box, pk_tris, pg_meta, pg_box, mk_boxv, mk_off,
@@ -196,13 +199,7 @@ def make_traced_scene(
             pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
             pg_meta, pg_box = dev(pg_meta), dev(pg_box)
             mk_boxv = dev(mk_boxv)
-            if leaf_max <= IVAL_LEAF:
-                wlb = pack_leaf_tables_big(bvh)
-                if wlb is not None:
-                    lf_boxv, wl_lfc, wl_boxrows = (dev(wlb[0]),
-                                                   dev(wlb[1]),
-                                                   dev(wlb[2]))
-                    wl_nl = wlb[3]
+            _pack_wl()
         except ValueError:
             pk_meta = pk_box = pk_tris = None  # jnp fallback
 
@@ -274,7 +271,6 @@ def make_traced_scene(
         pg_box=pg_box,
         mk_boxv=mk_boxv,
         lf_boxv=lf_boxv,
-        wl_lnode=wl_lnode,
         wl_lfc=wl_lfc,
         wl_boxrows=wl_boxrows,
         wl_nl=wl_nl,

@@ -207,6 +207,8 @@ def section_bwd():
     )
     params = {
         "tri_a": scene.tri_a,
+        "tri_ba": scene.tri_ba,
+        "tri_ca": scene.tri_ca,
         "mat_diffuse": scene.mat_diffuse,
         "light_pos": scene.lights.pos,
         "light_color": scene.lights.color,
@@ -221,6 +223,8 @@ def section_bwd():
                         color=params["light_color"],
                         radius=scene.lights.radius)
         s = dataclasses.replace(scene, tri_a=params["tri_a"],
+                                tri_ba=params["tri_ba"],
+                                tri_ca=params["tri_ca"],
                                 mat_diffuse=params["mat_diffuse"],
                                 lights=lights)
         c = dataclasses.replace(camera, pos=params["cam_pos"])
@@ -242,7 +246,7 @@ def section_bwd():
         "unit": "MRays/s/chip",
         "vs_baseline": round(mrays_b / BASELINE_MRAYS, 3),
         "grad_params": sorted(params),
-        "config": "shadows+reflections on",
+        "config": "shadows+reflections on; all three vertex arrays diffed",
     })
 
 

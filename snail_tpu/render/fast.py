@@ -67,16 +67,35 @@ def _gather_cols(tbl, idx):
     return jnp.take(tbl.T, idx, axis=1)
 
 
+@jax.custom_vjp
 def _small_lookup(tbl, idx):
     """(C, R) lookup from a SMALL (M, C) table as a one-hot matmul.
 
-    Both directions ride the MXU: forward is (C, M) @ (M, R), and the
-    VJP is a matmul too — XLA's scatter-add of 1M colliding cotangent
-    rows into a handful of material rows measured ~60 ms; this is <1 ms
-    and exact (the one-hot has a single 1.0 per column)."""
+    The forward rides the MXU: (C, M) @ (M, R). The BACKWARD is a
+    custom VJP of M masked row-sums — XLA's scatter-add of 1M colliding
+    cotangent rows into a handful of material rows measured ~60 ms, and
+    letting it transpose the one-hot matmul measured ~180 ms at M=1
+    (a degenerate (M, R) @ (R, C) contraction XLA schedules terribly);
+    the masked sums are exact and O(M) cheap reductions."""
     m = tbl.shape[0]
     onehot = (jnp.arange(m, dtype=jnp.int32)[:, None] == idx[None, :])
     return tbl.T @ onehot.astype(jnp.float32)
+
+
+def _small_lookup_fwd(tbl, idx):
+    return _small_lookup(tbl, idx), (idx, tbl.shape[0])
+
+
+def _small_lookup_bwd(res, g):
+    idx, m = res
+    d = jnp.stack([
+        jnp.sum(jnp.where(idx[None, :] == mm, g, 0.0), axis=1)
+        for mm in range(m)
+    ])
+    return d, None
+
+
+_small_lookup.defvjp(_small_lookup_fwd, _small_lookup_bwd)
 
 
 def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
@@ -189,7 +208,13 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
     pz = o3[2] + dz * safe_dist
 
     # --- reflections (scene_inl.h:434-444) ---
-    if opts.reflections and depth < opts.max_bounces:
+    # the whole bounce runs under lax.cond on "any ray selected" — the
+    # reference only recurses when the per-block reflection selector is
+    # non-empty (scene_inl.h:264-265, 434), and a fully-masked bounce
+    # wavefront still paid ~90 ms/frame of kernel launches, gathers and
+    # its own shadow pass before this skip
+    if (opts.reflections and depth < opts.max_bounces
+            and getattr(scene, "has_refl", True)):
         refl = jnp.where(hit, mp[6], 0.0)
         rsel = hit & (refl > 0.0)
         dn = dx * nx + dy * ny + dz * nz
@@ -200,32 +225,63 @@ def _shade_and_light(scene, o3, d3, dist, u, v, tri, opts: RenderOpts,
         roy = py + rdy * 0.001
         roz = pz + rdz * 0.001
         rtm = jnp.where(rsel, BIG, -BIG)
-        if bounce is None:
-            rr, rg, rb = _trace_and_shade(
-                scene, (rox, roy, roz), (rdx, rdy, rdz), rtm, opts,
-                depth + 1, diff=diff,
-            )
+
+        def _bounce_refl(args):
+            rox, roy, roz, rdx, rdy, rdz, rtm = args
+            if bounce is None:
+                return _trace_and_shade(
+                    scene, (rox, roy, roz), (rdx, rdy, rdz), rtm, opts,
+                    depth + 1, diff=diff,
+                )
+            return bounce((rox, roy, roz), (rdx, rdy, rdz), rtm,
+                          depth + 1)
+
+        def _no_bounce(args):
+            z = jnp.zeros_like(args[0])
+            return z, z, z
+
+        if diff:
+            # lax.cond's VJP blocks fusion in the backward (+30 ms
+            # measured); the diff path keeps the unconditional bounce
+            rr, rg, rb = _bounce_refl((rox, roy, roz, rdx, rdy, rdz,
+                                       rtm))
         else:
-            rr, rg, rb = bounce((rox, roy, roz), (rdx, rdy, rdz), rtm,
-                                depth + 1)
+            rr, rg, rb = jax.lax.cond(
+                jnp.any(rsel), _bounce_refl, _no_bounce,
+                (rox, roy, roz, rdx, rdy, rdz, rtm))
         dr = jnp.where(rsel, dr + (rr - dr) * refl, dr)
         dg = jnp.where(rsel, dg + (rg - dg) * refl, dg)
         db = jnp.where(rsel, db + (rb - db) * refl, db)
 
     # --- transparency continuation (scene_inl.h:445-458) ---
-    if opts.transparency and depth < opts.max_bounces:
+    if (opts.transparency and depth < opts.max_bounces
+            and getattr(scene, "has_transp", True)):
         opac = jnp.where(hit, mp[7], 1.0)
         tsel = hit & (opac < 1.0)
         tox = px + dx * 0.1
         toy = py + dy * 0.1
         toz = pz + dz * 0.1
         ttm = jnp.where(tsel, BIG, -BIG)
-        if bounce is None:
-            tr, tg, tb = _trace_and_shade(
-                scene, (tox, toy, toz), d3, ttm, opts, depth + 1, diff=diff
-            )
+
+        def _bounce_transp(args):
+            tox, toy, toz, ttm = args
+            if bounce is None:
+                return _trace_and_shade(
+                    scene, (tox, toy, toz), d3, ttm, opts, depth + 1,
+                    diff=diff,
+                )
+            return bounce((tox, toy, toz), d3, ttm, depth + 1)
+
+        def _no_transp(args):
+            z = jnp.zeros_like(args[0])
+            return z, z, z
+
+        if diff:
+            tr, tg, tb = _bounce_transp((tox, toy, toz, ttm))
         else:
-            tr, tg, tb = bounce((tox, toy, toz), d3, ttm, depth + 1)
+            tr, tg, tb = jax.lax.cond(
+                jnp.any(tsel), _bounce_transp, _no_transp,
+                (tox, toy, toz, ttm))
         dr = jnp.where(tsel, tr + (dr - tr) * opac, dr)
         dg = jnp.where(tsel, tg + (dg - tg) * opac, dg)
         db = jnp.where(tsel, tb + (db - tb) * opac, db)

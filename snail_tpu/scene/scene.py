@@ -107,6 +107,12 @@ class TracedScene:
     num_nodes: int = static_field(default=0)
     leaf_max: int = static_field(default=8)
     depth: int = static_field(default=32)
+    # does ANY material reflect / transmit? Static so the integrator can
+    # skip whole bounce recursions at trace time (the reference only
+    # builds reflection/transparency selectors for materials with the
+    # matching flags, shading/material.h:12-17 + scene_inl.h:264-265)
+    has_refl: bool = static_field(default=True)
+    has_transp: bool = static_field(default=True)
     # mask-index base/stride of page-local nodes (traverse_pallas
     # build_mask_boxv): page p local n -> mk_off + p * mk_cap + n
     mk_off: int = static_field(default=0)
@@ -277,6 +283,8 @@ def make_traced_scene(
         sh_soa=sh_soa,
         sh_pack=dev(sh_pack),
         mat_pack=dev(mat_pack),
+        has_refl=bool(np.any(np.asarray(materials.reflectivity) > 0.0)),
+        has_transp=bool(np.any(np.asarray(materials.dissolve) < 1.0)),
         num_tris=geom.num_tris,
         num_nodes=bvh.num_nodes,
         leaf_max=leaf_max,

@@ -291,17 +291,72 @@ def section_bwd_min():
     })
 
 
+def section_10m():
+    """Thai-class scale row (reference thai.obj 10 Mtri: 17 MRays/s on
+    one 2008 node, benchmark.txt:101-104): ~10.0 Mtri procedural
+    terrain through the worklist kernels with 127-tri leaves (the
+    subprocess runs with SNAIL_IVAL_LEAF=128). Records the host build
+    seconds (reference LoadNewModel builds thai in seconds,
+    server.cpp:269-310)."""
+    from snail_tpu.bvh.build import build_bvh
+    from snail_tpu.core.types import Camera, Light, RenderOpts
+    from snail_tpu.render.fast import render_frame_fast
+    from snail_tpu.scene.procedural import terrain_scene
+    from snail_tpu.scene.scene import make_traced_scene
+
+    n = 2236  # 2*n^2 ~ 10.0 Mtri
+    t0 = time.perf_counter()
+    g = terrain_scene(n).flatten()
+    t_gen = time.perf_counter() - t0
+    lo, hi = g.bounds()
+    t0 = time.perf_counter()
+    bvh = build_bvh(lo, hi, leaf_size=127)
+    t_build = time.perf_counter() - t0
+    lights = Light.make((0.0, 60.0, 0.0), (1.0, 1.0, 1.0), 400.0)
+    t0 = time.perf_counter()
+    scene = make_traced_scene(g, bvh, lights=lights, leaf_pad=128)
+    t_pack = time.perf_counter() - t0
+    assert scene.wl_lfc is not None, "expected the worklist path"
+    slo, shi = np.asarray(scene.node_lo[0]), np.asarray(scene.node_hi[0])
+    center = (slo + shi) * 0.5
+    ext = float(np.max(shi - slo))
+    cam = Camera.look_at(
+        pos=tuple(center + np.array([0.35, 0.25, 0.4]) * ext),
+        target=tuple(center))
+    opts = RenderOpts(reflections=False, transparency=False,
+                      textures=False)
+    dt = bench_loop(lambda: render_frame_fast(scene, cam, WIDTH, HEIGHT,
+                                              opts), frames=4)
+    mrays = 2 * WIDTH * HEIGHT / dt / 1e6
+    emit({
+        "metric": "terrain_10m_paged_fwd",
+        "value": round(mrays, 2),
+        "unit": "MRays/s/chip",
+        "tris": scene.num_tris,
+        "build_s": round(t_build, 1),
+        "gen_s": round(t_gen, 1),
+        "pack_s": round(t_pack, 1),
+        # vs the reference's 1-node thai.obj row (17 MRays/s,
+        # benchmark.txt:101-104)
+        "vs_baseline": round(mrays / 17.0, 3),
+    })
+
+
 SECTIONS = {
     "fwd": section_fwd,
     "tex": section_tex,
     "paged": section_paged,
+    "10m": section_10m,
     "bwd_min": section_bwd_min,
     "bwd": section_bwd,
 }
 
 # minimum seconds of remaining budget to ATTEMPT a section (compile cost)
-_MIN_BUDGET = {"fwd": 60, "tex": 60, "paged": 120, "bwd_min": 120,
-               "bwd": 150}
+_MIN_BUDGET = {"fwd": 60, "tex": 60, "paged": 120, "10m": 150,
+               "bwd_min": 120, "bwd": 150}
+
+# per-section environment overrides for the subprocess
+_SECTION_ENV = {"10m": {"SNAIL_IVAL_LEAF": "128"}}
 
 
 def _drive():
@@ -312,7 +367,7 @@ def _drive():
     # so a tight budget can never starve it (round-3 failure mode); the
     # bwd JSON line is still PRINTED last for the driver's last-line
     # parse.
-    for name in ("fwd", "bwd", "bwd_min", "tex", "paged"):
+    for name in ("fwd", "bwd", "bwd_min", "tex", "paged", "10m"):
         tries = 3 if name in ("fwd", "bwd") else 2
         for attempt in range(tries):
             if left() < _MIN_BUDGET[name]:
@@ -320,6 +375,7 @@ def _drive():
                       file=sys.stderr, flush=True)
                 break
             env = dict(os.environ)
+            env.update(_SECTION_ENV.get(name, {}))
             env["SNAIL_BENCH_SECTION"] = name
             try:
                 r = subprocess.run(

@@ -23,7 +23,7 @@ def _content_key(tri_lo: np.ndarray, tri_hi: np.ndarray, leaf_size: int, method:
     h = hashlib.sha256()
     h.update(np.ascontiguousarray(tri_lo, np.float32).tobytes())
     h.update(np.ascontiguousarray(tri_hi, np.float32).tobytes())
-    h.update(f"{leaf_size}:{method}:v1".encode())
+    h.update(f"{leaf_size}:{method}:v2".encode())
     return h.hexdigest()[:24]
 
 

@@ -2053,6 +2053,87 @@ def _shadow_ival_drain_g(o_refs, d_refs, tm_ref, limit, tscratch,
     return lim_fn, process_fn
 
 
+def _closest_ival_drain_sh_raw(o, d_refs, tscratch,
+                               best_ref, bu_ref, bv_ref, tri_ref):
+    """Closest-hit leaf processing from a SHARED origin with RAW
+    triangle rows (full Moller; the origin scalars broadcast inside
+    _intersect4). Used for huge scenes where the per-frame shared_rows
+    table would double a multi-GB triangle array in HBM (a 10 Mtri
+    scene OOMed at 28.8 G with it)."""
+
+    def lim_fn():
+        return best_ref[:, :]
+
+    def process_fn(slot, first, count, q):
+        ts = tscratch.at[slot]
+        r = slice(0, RAY_SUB) if q is None else slice(q * QR, q * QR + QR)
+        d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
+        for blk in range(IVAL_LEAF // 4):
+            r0 = blk * 4
+
+            @pl.when(r0 < count)
+            def _(r0=r0):
+                det, u, v, tmul = _intersect4(o, d, _tri_cols(ts, r0))
+                duv = det - u - v
+                side = (jnp.maximum(u, jnp.maximum(v, duv)) <= 0.0) | (
+                    jnp.minimum(u, jnp.minimum(v, duv)) >= 0.0
+                )
+                idet = 1.0 / jnp.where(det == 0.0, 1e-30, det)
+                dist = tmul * idet
+                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
+                ok = side & (det != 0.0) & (dist > 0.0) & ((r0 + row) < count)
+                dist = jnp.where(ok, dist, BIG)
+                m = jnp.min(dist, axis=0)
+                upd = m < best_ref[r, :]
+                is_min = (dist == m[None]) & ok
+                ids = first + r0 + row
+                tid = jnp.min(
+                    jnp.where(is_min, ids, jnp.int32(2**30)), axis=0
+                )
+                sel_u = jnp.max(jnp.where(is_min, u * idet, -BIG), axis=0)
+                sel_v = jnp.max(jnp.where(is_min, v * idet, -BIG), axis=0)
+                best_ref[r, :] = jnp.where(upd, m, best_ref[r, :])
+                tri_ref[r, :] = jnp.where(upd, tid, tri_ref[r, :])
+                bu_ref[r, :] = jnp.where(upd, sel_u, bu_ref[r, :])
+                bv_ref[r, :] = jnp.where(upd, sel_v, bv_ref[r, :])
+
+    return lim_fn, process_fn
+
+
+def _shadow_ival_drain_sh_raw(o, d_refs, tm_ref, limit, tscratch,
+                              blocked_ref):
+    """Any-hit leaf processing from a shared origin with raw triangle
+    rows (see _closest_ival_drain_sh_raw)."""
+
+    def lim_fn():
+        return jnp.where(blocked_ref[:, :] > 0.0, -BIG, limit)
+
+    def process_fn(slot, first, count, q):
+        ts = tscratch.at[slot]
+        r = slice(0, RAY_SUB) if q is None else slice(q * QR, q * QR + QR)
+        d = (d_refs[0][r, :], d_refs[1][r, :], d_refs[2][r, :])
+        limq = tm_ref[0, r, :]
+        limq = jnp.where(limq >= 0.0, limq, -BIG)
+        for blk in range(IVAL_LEAF // 4):
+            r0 = blk * 4
+
+            @pl.when(r0 < count)
+            def _(r0=r0):
+                det, u, v, tmul = _intersect4(o, d, _tri_cols(ts, r0))
+                row = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0)
+                occ = (
+                    (jnp.minimum(u, v) >= 0.0)
+                    & (u + v <= det)
+                    & (tmul > 0.0)
+                    & (tmul < limq[None] * det)
+                    & ((r0 + row) < count)
+                )
+                occ_any = jnp.max(jnp.where(occ, 1.0, 0.0), axis=0)
+                blocked_ref[r, :] = jnp.maximum(blocked_ref[r, :], occ_any)
+
+    return lim_fn, process_fn
+
+
 def _closest_ival_impl_g(tbl_ref, box_ref,
                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                          tm_ref, tris_hbm,
@@ -2543,7 +2624,9 @@ def pack_leaf_tables(bvh):
     leaf = np.where(bvh.count > 0)[0]
     first = bvh.child[leaf].astype(np.int64)
     cnt = bvh.count[leaf].astype(np.int64)
-    if (len(leaf) == 0 or len(leaf) > WL_LEAF_CAP
+    # nv <= 128: the words kernel's summary pack stores one summary word
+    # per 1024-leaf block in the LANES of a single row
+    if (len(leaf) == 0 or len(leaf) > min(WL_LEAF_CAP, 128 * 1024)
             or first.max() >= (1 << 24) or cnt.max() >= 128):
         return None
     L = len(leaf)
@@ -2988,10 +3071,11 @@ def _camera_wl_body(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm, wlw_hbm,
                     best_ref, bu_ref, bv_ref, tri_ref,
                     tscratch, lq_ref, bits_ref, qlist_ref,
                     lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
-                    *, k_bands: int, nv: int):
+                    *, k_bands: int, nv: int, raw: bool = False):
     """Primary rays: camera-fused raygen + drain-only traversal over the
     words kernel's block. cam layout extends _camera_kernel's f32[16]
-    with root lo.xyz (16:19) / hi.xyz (19:22)."""
+    with root lo.xyz (16:19) / hi.xyz (19:22). ``raw``: tris_hbm holds
+    raw triangle rows instead of the per-frame shared_rows table."""
     if _wl_stage_boxes(boxrows_hbm):
         _stage_lfc(lfc_hbm, lfc_s, ssem, boxrows_hbm, lbrow_s)
         browt, lbt = None, lbrow_s
@@ -3045,8 +3129,12 @@ def _camera_wl_body(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm, wlw_hbm,
     dz_ref[0] = dz
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
 
-    lim_fn, process_fn = _closest_ival_drain(
-        d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
+    if raw:
+        lim_fn, process_fn = _closest_ival_drain_sh_raw(
+            o, d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
+    else:
+        lim_fn, process_fn = _closest_ival_drain(
+            d_refs, tscratch, best_ref, bu_ref, bv_ref, tri_ref)
     _traverse_wl(lfc_s, wl_s, o, idir, mb_bits, lim_fn, process_fn,
                  tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
                  st_ref, browt, lbt,
@@ -3060,11 +3148,12 @@ def _camera_wl_body(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm, wlw_hbm,
 
 def _camera_wl_kernel(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm, wlw_hbm,
                       dist_ref, u_ref, v_ref, tri_out,
-                      dx_ref, dy_ref, dz_ref, *rest, k_bands, nv):
+                      dx_ref, dy_ref, dz_ref, *rest, k_bands, nv,
+                      raw=False):
     _camera_wl_body(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm, wlw_hbm,
                     dist_ref, u_ref, v_ref, tri_out,
                     dx_ref, dy_ref, dz_ref, None, *rest,
-                    k_bands=k_bands, nv=nv)
+                    k_bands=k_bands, nv=nv, raw=raw)
 
 
 def _camera_wl_kernel_stats(lfc_hbm, cam_ref, boxrows_hbm, tris_hbm,
@@ -3082,7 +3171,7 @@ def _shadow_wl_body(lfc_hbm, orig_ref, boxrows_hbm,
                     out_ref, st_ref, blocked_ref,
                     tscratch, lq_ref, bits_ref, qlist_ref,
                     lfc_s, wl_s, lbrow_s, sems, bsems, ssem,
-                    *, k_bands: int, nv: int):
+                    *, k_bands: int, nv: int, raw: bool = False):
     """Shadow any-hit from the shared light origin, worklist."""
     if _wl_stage_boxes(boxrows_hbm):
         _stage_lfc(lfc_hbm, lfc_s, ssem, boxrows_hbm, lbrow_s)
@@ -3102,8 +3191,12 @@ def _shadow_wl_body(lfc_hbm, orig_ref, boxrows_hbm,
     mb_bits = jnp.max(pltpu.bitcast(jnp.maximum(limit, 0.0), jnp.int32))
 
     d_refs = (dx_ref.at[0], dy_ref.at[0], dz_ref.at[0])
-    lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
-                                            tscratch, blocked_ref)
+    if raw:
+        lim_fn, process_fn = _shadow_ival_drain_sh_raw(
+            o, d_refs, tm_ref, limit, tscratch, blocked_ref)
+    else:
+        lim_fn, process_fn = _shadow_ival_drain(d_refs, tm_ref, limit,
+                                                tscratch, blocked_ref)
     _traverse_wl(lfc_s, wl_s, o, idir, mb_bits, lim_fn, process_fn,
                  tris_hbm, tscratch, sems, lq_ref, bits_ref, qlist_ref,
                  st_ref, browt, lbt,
@@ -3113,10 +3206,11 @@ def _shadow_wl_body(lfc_hbm, orig_ref, boxrows_hbm,
 
 def _shadow_wl_kernel(lfc_hbm, orig_ref, boxrows_hbm,
                       dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm, wlw_hbm,
-                      out_ref, *rest, k_bands, nv):
+                      out_ref, *rest, k_bands, nv, raw=False):
     _shadow_wl_body(lfc_hbm, orig_ref, boxrows_hbm,
                     dx_ref, dy_ref, dz_ref, tm_ref, tris_hbm, wlw_hbm,
-                    out_ref, None, *rest, k_bands=k_bands, nv=nv)
+                    out_ref, None, *rest, k_bands=k_bands, nv=nv,
+                    raw=raw)
 
 
 def _shadow_wl_kernel_stats(lfc_hbm, orig_ref, boxrows_hbm,
@@ -3250,10 +3344,11 @@ def _cam_vec_rb(camera, width, height, tiles_x, root_lo, root_hi):
     ])
 
 
-@partial(jax.jit, static_argnames=("p", "k_bands", "nv"))
-def _run_camera_wl(lfc, cam, tris, boxrows, wlw, p, k_bands, nv):
+@partial(jax.jit, static_argnames=("p", "k_bands", "nv", "raw"))
+def _run_camera_wl(lfc, cam, tris, boxrows, wlw, p, k_bands, nv,
+                   raw=False):
     return pl.pallas_call(
-        partial(_camera_wl_kernel, k_bands=k_bands, nv=nv),
+        partial(_camera_wl_kernel, k_bands=k_bands, nv=nv, raw=raw),
         grid=(p,),
         in_specs=[_hbm(), _smem(), _hbm(), _hbm(), _hbm()],
         out_specs=[_blk()] * 7,
@@ -3293,12 +3388,12 @@ def _run_camera_wl_stats(lfc, cam, tris, boxrows, wlw, p, k_bands, nv):
     )(lfc, cam, boxrows, tris, wlw)
 
 
-@partial(jax.jit, static_argnames=("k_bands", "nv"))
+@partial(jax.jit, static_argnames=("k_bands", "nv", "raw"))
 def _run_shadow_wl(lfc, orig, dx, dy, dz, tm, tris, boxrows, wlw,
-                   k_bands, nv):
+                   k_bands, nv, raw=False):
     p = dx.shape[0]
     return pl.pallas_call(
-        partial(_shadow_wl_kernel, k_bands=k_bands, nv=nv),
+        partial(_shadow_wl_kernel, k_bands=k_bands, nv=nv, raw=raw),
         grid=(p,),
         in_specs=[_hbm(), _smem(), _hbm()] + [_blk()] * 4
         + [_hbm(), _hbm()],
@@ -3379,6 +3474,12 @@ def _run_shadow_wl_g(lfc, ox, oy, oz, dx, dy, dz, tm, tris, boxrows,
 def _wl_available(scene) -> bool:
     return (_WL and getattr(scene, "wl_boxrows", None) is not None
             and scene.leaf_max <= IVAL_LEAF)
+
+
+def _wl_raw_tris(scene) -> bool:
+    """Trace raw triangle rows (skip the shared_rows per-frame table)
+    when the table would double a multi-GB HBM array."""
+    return scene.pk_tris.size * 4 > (1 << 31)
 
 
 # ---------------------------------------------------------------------------
@@ -3483,9 +3584,15 @@ def camera_trace(scene, camera, width: int, height: int):
                              scene.node_lo[0], scene.node_hi[0])
         wlw = _run_words_camera(cam_rb, scene.lf_boxv, p, WL_BANDS,
                                 scene.wl_nl)
+        # huge scenes trace raw triangle rows: the per-frame
+        # shared-origin precompute table doubles a multi-GB array
+        raw = _wl_raw_tris(scene)
         dist, u, v, tri, dx, dy, dz = _run_camera_wl(
-            scene.wl_lfc, cam_rb, shared_rows(scene.pk_tris, camera.pos),
-            scene.wl_boxrows, wlw, p, WL_BANDS, scene.lf_boxv.shape[1])
+            scene.wl_lfc, cam_rb,
+            scene.pk_tris if raw else shared_rows(scene.pk_tris,
+                                                  camera.pos),
+            scene.wl_boxrows, wlw, p, WL_BANDS, scene.lf_boxv.shape[1],
+            raw)
         f = lambda a: a.reshape(-1)
         return f(dist), f(u), f(v), f(tri), f(dx), f(dy), f(dz)
 
@@ -3753,8 +3860,74 @@ def closest_hit_c(scene, o3, d3, tmax):
     return f(dist), f(u), f(v), f(tri)
 
 
+WL_SORT_TRIS = int(os.environ.get("SNAIL_WL_SORT", 0))
+# shadow-ray regroup threshold (scene tris, 0 = off): re-pack shadow
+# rays by receiver locality before the kernel. Measured NEGATIVE on the
+# 1 Mtri terrain (leaf candidates/packet 1733 -> 3333): endpoint-compact
+# packets whose direction interval straddles a zero component lose that
+# axis's cull entirely, and enough packets do that the average worsens.
+# Kept env-gated for future work (the fix is a span-aware packet split
+# or per-quarter direction intervals in the words kernel).
+
+
+@jax.jit
+def _shadow_sort_perm(light, dx, dy, dz, tm, root_lo, root_hi):
+    """Permutation packing shadow rays by RECEIVER locality: Morton
+    order of the ray endpoints (light + d * tmax). Screen-tile shadow
+    packets on big open scenes have near-scene-wide light cones (a
+    grazing 64x64-pixel tile's world footprint is a kilometer strip)
+    and the per-packet interval cull passes thousands of leaf
+    candidates; endpoint-sorted packets subtend narrow light pyramids.
+    The reference shoots shadow packets per screen block and eats the
+    same blowup (scene_inl.h:127-140) — ray regrouping is the wavefront
+    move it could not afford."""
+    ex = light[0] + dx * jnp.maximum(tm, 0.0)
+    ey = light[1] + dy * jnp.maximum(tm, 0.0)
+    ez = light[2] + dz * jnp.maximum(tm, 0.0)
+    inv = 1023.0 / jnp.maximum(root_hi - root_lo, 1e-6)
+
+    def q(c, lo, iv):
+        x = jnp.clip(((c - lo) * iv), 0.0, 1023.0).astype(jnp.uint32)
+        # spread 10 bits -> every 3rd bit (Morton)
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = (q(ex, root_lo[0], inv[0])
+            | (q(ey, root_lo[1], inv[1]) << 1)
+            | (q(ez, root_lo[2], inv[2]) << 2))
+    # masked rays (tm < 0) sort to the back as whole no-op packets
+    # masked rays sort to the back as whole no-op packets (int32:
+    # morton codes use 30 bits, the sentinel is the max positive value)
+    code = jnp.where(tm >= 0.0, code.astype(jnp.int32),
+                     jnp.int32(2**31 - 1))
+    return jnp.argsort(code)
+
+
 def any_hit_shared(scene, light_pos, d3, tmax):
-    """Shadow any-hit from a shared origin. Returns blocked bool (R,)."""
+    """Shadow any-hit from a shared origin. Returns blocked bool (R,).
+
+    Large scenes (> WL_SORT_TRIS tris) re-pack the rays by endpoint
+    Morton order first (see _shadow_sort_perm) and scatter the verdicts
+    back — two 1M-element gathers buy an order of magnitude fewer leaf
+    candidates per packet on open terrain."""
+    if (WL_SORT_TRIS > 0 and _WL
+            and getattr(scene, "wl_boxrows", None) is not None
+            and scene.num_tris > WL_SORT_TRIS):
+        lp = jnp.asarray(light_pos, jnp.float32)
+        perm = _shadow_sort_perm(lp, d3[0], d3[1], d3[2], tmax,
+                                 scene.node_lo[0], scene.node_hi[0])
+        ds = tuple(jnp.take(c, perm) for c in d3)
+        tms = jnp.take(tmax, perm)
+        blocked = _any_hit_shared_impl(scene, light_pos, ds, tms)
+        inv = jnp.argsort(perm)
+        return jnp.take(blocked, inv)
+    return _any_hit_shared_impl(scene, light_pos, d3, tmax)
+
+
+def _any_hit_shared_impl(scene, light_pos, d3, tmax):
     dx, n = _pad_flat(d3[0], 1.0)
     dy, _ = _pad_flat(d3[1], 1.0)
     dz, _ = _pad_flat(d3[2], 1.0)
@@ -3765,11 +3938,12 @@ def any_hit_shared(scene, light_pos, d3, tmax):
         # any-hit needs no ordering: one band, scan-and-drain
         wlw = _run_words_shared(orig, pk(dx), pk(dy), pk(dz), pk(tm),
                                 scene.lf_boxv, 1, scene.wl_nl)
+        raw = _wl_raw_tris(scene)
         out = _run_shadow_wl(
             scene.wl_lfc, orig, pk(dx), pk(dy), pk(dz), pk(tm),
-            shared_rows(scene.pk_tris,
-                        jnp.asarray(light_pos, jnp.float32)),
-            scene.wl_boxrows, wlw, 1, scene.lf_boxv.shape[1],
+            scene.pk_tris if raw else shared_rows(
+                scene.pk_tris, jnp.asarray(light_pos, jnp.float32)),
+            scene.wl_boxrows, wlw, 1, scene.lf_boxv.shape[1], raw,
         )
         return out.reshape(-1)[:n] > 0.0
     paged = getattr(scene, "pg_meta", None) is not None

@@ -627,7 +627,7 @@ def render_frame_fast_diff(scene, camera: Camera, width: int, height: int,
 
 def fast_path_available(scene, width: int, height: int) -> bool:
     return (
-        scene.pk_meta is not None
+        (scene.pk_meta is not None or scene.wl_lfc is not None)
         and scene.sh_soa is not None
         and width % TILE == 0
         and height % TILE == 0

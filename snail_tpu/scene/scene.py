@@ -179,6 +179,7 @@ def make_traced_scene(
     )
 
     pg_meta = pg_box = mk_boxv = None
+    pk_meta = pk_box = pk_tris = None
     lf_boxv = wl_lfc = wl_boxrows = None
     wl_nl = 0
     mk_off = mk_cap = 0
@@ -199,15 +200,29 @@ def make_traced_scene(
         mk_boxv = dev(mk_boxv)
         _pack_wl()
     except ValueError:
-        try:  # over the SMEM node cap: two-level page layout
-            (pk_meta, pk_box, pk_tris, pg_meta, pg_box, mk_boxv, mk_off,
-             mk_cap) = pack_scene_arrays_paged(bvh, g)
-            pk_meta, pk_box, pk_tris = dev(pk_meta), dev(pk_box), dev(pk_tris)
-            pg_meta, pg_box = dev(pg_meta), dev(pg_box)
-            mk_boxv = dev(mk_boxv)
-            _pack_wl()
-        except ValueError:
-            pk_meta = pk_box = pk_tris = None  # jnp fallback
+        _pack_wl()
+        # the worklist kernels need only the leaf tables + triangle
+        # rows; the two-level paged layout exists as the SNAIL_WL=0
+        # fallback and its host partition is kept only where it is
+        # affordable (thai-class scenes would spend minutes of
+        # interpreter time in partition_pages for tables the worklist
+        # path never touches)
+        if bvh.num_nodes <= 300_000:
+            try:  # over the SMEM node cap: two-level page layout
+                (pk_meta, pk_box, pk_tris, pg_meta, pg_box, mk_boxv,
+                 mk_off, mk_cap) = pack_scene_arrays_paged(bvh, g)
+                pk_meta, pk_box = dev(pk_meta), dev(pk_box)
+                pk_tris = dev(pk_tris)
+                pg_meta, pg_box = dev(pg_meta), dev(pg_box)
+                mk_boxv = dev(mk_boxv)
+            except ValueError:
+                pk_meta = pk_box = pk_tris = None  # jnp fallback
+        if pk_tris is None and wl_lfc is not None:
+            from ..ops.traverse_pallas import _pack_tri_rows
+
+            pk_tris = dev(_pack_tri_rows(g))
+        if wl_lfc is None and pk_meta is None:
+            pk_tris = None  # jnp fallback
 
     sh_soa = tuple(
         dev(np.ascontiguousarray(arr[:, k]))

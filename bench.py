@@ -291,6 +291,47 @@ def section_bwd_min():
     })
 
 
+def section_multilight():
+    """The reference's best-scaling headline config (abrams 1024^2,
+    4 lights, 4x supersampling: 85 MRays/s on one 2008 node,
+    benchmark.txt:126-129; abrams.obj 116 Ktri is not mounted so
+    feline.obj 100 Ktri stands in — the closest mounted scene by
+    triangle count). 4xAA renders at 2048^2 and box-averages; MRays/s counts
+    all rays per sample (1 primary + 4 shadow) like the reference's
+    client accounting (client.cpp:374-379)."""
+    from snail_tpu.core.types import Camera, Light, RenderOpts
+    from snail_tpu.render.renderer import render_frame
+    from snail_tpu.scene.scene import load_scene
+
+    path = FELINE
+    if not os.path.exists(path):
+        print("# no feline.obj", file=sys.stderr)
+        return
+    lights = Light(
+        pos=np.array([[8.0, 12.0, 8.0], [-8.0, 12.0, 8.0],
+                      [8.0, 12.0, -8.0], [-8.0, 12.0, -8.0]], np.float32),
+        color=np.full((4, 3), 0.8, np.float32),
+        radius=np.full((4,), 60.0, np.float32),
+    )
+    scene = load_scene(path, cache_dir="/tmp/snail_dump", lights=lights)
+    cam = _camera_for(scene)
+    opts = RenderOpts(reflections=False, transparency=False,
+                      textures=False, supersample=True)
+    rays = WIDTH * HEIGHT * 4 * (1 + 4)  # 4 samples x (primary+4 shadow)
+    dt = bench_loop(lambda: render_frame(scene, cam, WIDTH, HEIGHT,
+                                         opts), frames=4)
+    mrays = rays / dt / 1e6
+    emit({
+        "metric": "feline_1024_4light_4xAA_fwd",
+        "value": round(mrays, 2),
+        "unit": "MRays/s/chip",
+        "tris": scene.num_tris,
+        # vs the reference's abrams 1-node row (85 MRays/s,
+        # benchmark.txt:126-129)
+        "vs_baseline": round(mrays / 85.0, 3),
+    })
+
+
 def section_10m():
     """Thai-class scale row (reference thai.obj 10 Mtri: 17 MRays/s on
     one 2008 node, benchmark.txt:101-104): ~10.0 Mtri procedural
@@ -346,14 +387,15 @@ SECTIONS = {
     "fwd": section_fwd,
     "tex": section_tex,
     "paged": section_paged,
+    "multilight": section_multilight,
     "10m": section_10m,
     "bwd_min": section_bwd_min,
     "bwd": section_bwd,
 }
 
 # minimum seconds of remaining budget to ATTEMPT a section (compile cost)
-_MIN_BUDGET = {"fwd": 60, "tex": 60, "paged": 120, "10m": 150,
-               "bwd_min": 120, "bwd": 150}
+_MIN_BUDGET = {"fwd": 60, "tex": 60, "paged": 120, "multilight": 90,
+               "10m": 150, "bwd_min": 120, "bwd": 150}
 
 # per-section environment overrides for the subprocess
 _SECTION_ENV = {"10m": {"SNAIL_IVAL_LEAF": "128"}}
@@ -367,7 +409,8 @@ def _drive():
     # so a tight budget can never starve it (round-3 failure mode); the
     # bwd JSON line is still PRINTED last for the driver's last-line
     # parse.
-    for name in ("fwd", "bwd", "bwd_min", "tex", "paged", "10m"):
+    for name in ("fwd", "bwd", "bwd_min", "tex", "multilight", "paged",
+                 "10m"):
         tries = 3 if name in ("fwd", "bwd") else 2
         for attempt in range(tries):
             if left() < _MIN_BUDGET[name]:

@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import argparse
 import os
+import queue
 import socket
+import threading
 import time
 
 import numpy as np
@@ -84,6 +86,58 @@ def serve_connection(conn: socket.socket, scene_dir: str,
                               "build_time": build_time,
                               "num_tris": int(scene.num_tris)})
 
+    # Encode/send pipeline: a worker thread converts, compresses and
+    # streams frame n's parts while the DEVICE renders frame n+1 — the
+    # reference overlaps quicklz compression of finished tiles with the
+    # rendering of later tiles the same way (render_spu.cpp:31-33,
+    # readme_distributed.txt:20-22: "run 4 logical nodes per blade so
+    # the PPU compresses while the SPUs render"). JAX dispatch is
+    # asynchronous, so the main loop only LAUNCHES the render and hands
+    # the device future to the worker; protocol order is preserved by
+    # the single worker draining its queue in order.
+    work_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def _encoder():
+        while True:
+            item = work_q.get()
+            if item is None:
+                return
+            img, t0f, kstats, n_lights, build_time = item
+            te0 = time.perf_counter()
+            rgb8 = to_rgb8(img)  # blocks on the device future
+            render_ms = (time.perf_counter() - t0f) * 1e3
+            protocol.send_parts(conn, _split_parts(rgb8))
+            encode_ms = (time.perf_counter() - te0) * 1e3
+            if kstats is not None:
+                from ..ops.traverse_pallas import QR, RAY_LANE
+
+                stats = TreeStats(
+                    intersects=kstats["tri_blocks"] * QR * RAY_LANE,
+                    loop_iters=kstats["nodes"],
+                    rays=kstats["rays"],
+                    runs=1 + n_lights,
+                )
+                measured = True
+            else:
+                stats = TreeStats(rays=resx * resy * (1 + n_lights))
+                measured = False
+            protocol.send_json(conn, {
+                "type": "stats", "render_ms": render_ms,
+                "encode_ms": encode_ms, "pipelined": True,
+                "measured": measured,
+                "build_ms": build_time * 1e3, **stats.to_dict(),
+            })
+
+    enc = threading.Thread(target=_encoder, daemon=True)
+    enc.start()
+    try:
+        _frame_loop(conn, scene, resx, resy, build_time, work_q)
+    finally:
+        work_q.put(None)
+        enc.join(timeout=10)
+
+
+def _frame_loop(conn, scene, resx, resy, build_time, work_q):
     while True:
         req = protocol.recv_json(conn)
         if req.get("finish") or req["type"] == "finish":
@@ -108,32 +162,15 @@ def serve_connection(conn: socket.socket, scene_dir: str,
                 and resx % 64 == 0 and resy % 64 == 0):
             # REAL in-kernel traversal counters (TreeStats rebuild,
             # reference tree_stats.h:36-130, aggregated server-side like
-            # server.cpp:406-418)
+            # server.cpp:406-418); the stats path is not async
             img, kstats = render_frame_fast_stats(scene, cam, resx, resy,
                                                   opts)
         else:
             img = render_frame(scene, cam, resx, resy, opts)
-        rgb8 = to_rgb8(img)
-        render_ms = (time.perf_counter() - t0) * 1e3
-
-        protocol.send_parts(conn, _split_parts(rgb8))
-        if kstats is not None:
-            from ..ops.traverse_pallas import QR, RAY_LANE
-
-            stats = TreeStats(
-                intersects=kstats["tri_blocks"] * QR * RAY_LANE,
-                loop_iters=kstats["nodes"],
-                rays=kstats["rays"],
-                runs=1 + len(lights),
-            )
-            measured = True
-        else:
-            stats = TreeStats(rays=resx * resy * (1 + len(lights)))
-            measured = False
-        protocol.send_json(conn, {
-            "type": "stats", "render_ms": render_ms, "measured": measured,
-            "build_ms": build_time * 1e3, **stats.to_dict(),
-        })
+        # hand the (async) device result to the encoder worker and go
+        # straight back to recv — frame n's encode overlaps frame n+1's
+        # device render
+        work_q.put((img, t0, kstats, len(lights), build_time))
 
 
 def main(argv=None) -> None:

@@ -242,12 +242,12 @@ def _next_pow2(x: int) -> int:
     return 1 << (int(x) - 1).bit_length()
 
 
-MASK_CAP = None  # set below (bvh.pages.PAGE_CAP); page p local node n has
-# mask index MK_OFF + p * PAGE_CAP + n in the flat mask node space
-
-
 def build_mask_boxv(bvh_box6, pg_box=None, page_cap=None):
     """Host-side planar node boxes for the XLA mask pass.
+
+    Page p's local node n has mask index page_off + p * page_cap + n in
+    the flat mask node space (the kernels thread the same values as
+    mk_off/mk_cap).
 
     Returns (mk_boxv f32[6, NV, 8, 128], page_off int): node (mask index)
     i lives at [:, i>>10, (i>>7)&7, i&127]. Top-tree nodes come first
@@ -279,15 +279,17 @@ def build_mask_boxv(bvh_box6, pg_box=None, page_cap=None):
         flat[nt:page_off, 3:6] = -1e30
         flat[page_off : page_off + np_pages * page_cap] = pgflat.reshape(
             -1, 6)
-        # page padding slots have zero boxes -> degenerate at origin;
-        # they are never visited (page-local walks stay inside the real
-        # subtree), so a spurious pass bit is harmless, but make them
-        # never-pass anyway for cleanliness
+        # every slot outside the top tree and the real page subtrees is
+        # made never-pass: the per-page node counts bound what a
+        # page-local walk can visit, so within-page padding keeps its
+        # zero box only up to that count
+        cnts = ((np.asarray(pg_box) != 0).reshape(np_pages, -1, 6)
+                .any(axis=2).sum(axis=1))
         used = np.zeros(total, bool)
         used[:nt] = True
         for p in range(np_pages):
-            used[page_off + p * page_cap : page_off + (p + 1) * page_cap] \
-                = True
+            base = page_off + p * page_cap
+            used[base : base + int(cnts[p])] = True
         flat[~used, 0:3] = 1e30
         flat[~used, 3:6] = -1e30
     nv = total // 1024
@@ -2305,7 +2307,7 @@ def _stage_scratches(meta, box, masks):
     ]
 
 
-def _ival_scratches(extra_vec: int, page_shapes=None, nv=1):
+def _ival_scratches(extra_vec: int, page_shapes=None):
     base = [
         pltpu.VMEM((RAY_SUB, RAY_LANE), jnp.float32)
         for _ in range(extra_vec)
@@ -3564,13 +3566,16 @@ def _dummy_masks(p):
 def camera_trace(scene, camera, width: int, height: int):
     """Fused raygen + closest hit for a full frame of primary rays.
 
-    Returns flat (R,) arrays: dist, u, v, tri, dx, dy, dz in TILE x TILE
-    (64x64) tile packet order. Requires width and height to be multiples
-    of TILE.
+    Returns flat (R,) arrays: dist, u, v, tri, dx, dy, dz in kernel
+    packet order: TILE x TILE pixel tiles whose within-tile layout is
+    SQUARE-QUADRANT (ray k of a packet is quadrant k>>10, raster inside
+    it — see _pixel_xy; kernel_ray_index is the canonical
+    packet-order-to-pixel mapping). Requires width and height to be
+    multiples of TILE.
 
-    Scenes built with leaf_size <= IVAL_LEAF take the decoupled
-    interval-traversal kernel; fatter-leaf scenes fall back to the
-    vector-culled kernel."""
+    Routing: worklist kernels when the leaf tables exist; else the
+    interval-walk kernels (flat or paged); fat-leaf flat scenes fall
+    back to the vector-culled kernel."""
     assert width % TILE == 0 and height % TILE == 0, (width, height)
     tiles_x = width // TILE
     p = tiles_x * (height // TILE)

@@ -114,9 +114,12 @@ their sum (the reference's progressive-compression goal).
 device mesh with GSPMD annotations and lets XLA insert the gradient
 all-reduce. The compiled module for the 8-virtual-device CPU mesh
 (artifact generated by `tools/overlap_evidence.py`) contains {mech},
-placed at relative positions {frac} of the {total}-line module — i.e.
-inside the backward stretch, immediately where each parameter's
-cotangent sum completes, NOT batched at the end:
+at relative positions {frac} of the {total}-line module: the early
+ones are the loss/mask reductions inside the forward, and XLA combines
+the parameter cotangents into one fused TUPLE all-reduce at the end of
+the backward — the combined form is what the TPU backend's async
+lowering overlaps (one start as the last cotangent lands, one done at
+the optimizer update):
 
 ```
 {chr(10).join(snips)}

@@ -89,6 +89,22 @@ def make_instances(base, rot, trans) -> InstancedScene:
     )
 
 
+def _ray_hits_box(o3, d3, tmax, lo, hi):
+    """Vectorized slab test of every ray against one world bbox — the
+    per-packet instance cull the reference gets from its DBVH node tests
+    (dbvh/traverse.cpp:14-76): only rays whose segment enters the
+    instance's cached world bbox pay that instance's base traversal."""
+    tn = jnp.zeros_like(tmax)
+    tf = jnp.where(tmax >= 0.0, jnp.minimum(tmax, BIG), -BIG)
+    for k in range(3):
+        ic = 1.0 / (d3[k] + 1e-8)
+        t1 = (lo[k] - o3[k]) * ic
+        t2 = (hi[k] - o3[k]) * ic
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+    return (tn <= tf) & (tf > 0.0)
+
+
 def _to_object(iscene, i, o3, d3):
     """World -> object space (ITransformVec/ITransformPoint,
     dbvh/tree.h:34-46): p' = R^T (p - t), v' = R^T v."""
@@ -124,10 +140,31 @@ def instanced_closest_hit(iscene: InstancedScene, o3, d3, tmax):
     bv = jnp.zeros((r,), jnp.float32)
 
     for i in range(iscene.num_instances):
+        # per-ray world-bbox cull, then skip the WHOLE base traversal
+        # when no ray touches this instance (lax.cond executes one
+        # branch): the frame cost grows with INTERSECTED instances, not
+        # the instance count — the sub-linearity the reference's DBVH
+        # gets from its tree over instances (dbvh/tree.h:189-252)
+        touch = _ray_hits_box(o3, d3, best, iscene.inst_lo[i],
+                              iscene.inst_hi[i])
         oo, dd = _to_object(iscene, i, o3, d3)
         orig = jnp.stack(oo, -1)
         dirn = jnp.stack(dd, -1)
-        d_i, t_i, b_i = dispatch.closest_hit(iscene.base, orig, dirn, best)
+        tm_i = jnp.where(touch, best, -BIG)
+
+        def _trace(args):
+            orig, dirn, tm_i = args
+            return dispatch.closest_hit(iscene.base, orig, dirn, tm_i)
+
+        def _skip(args):
+            orig, dirn, tm_i = args
+            r_ = tm_i.shape[0]
+            return (jnp.full((r_,), -BIG, jnp.float32),
+                    jnp.zeros((r_,), jnp.int32),
+                    jnp.zeros((r_, 2), jnp.float32))
+
+        d_i, t_i, b_i = jax.lax.cond(jnp.any(touch), _trace, _skip,
+                                     (orig, dirn, tm_i))
         upd = (d_i > 0.0) & (d_i < best)
         best = jnp.where(upd, d_i, best)
         inst = jnp.where(upd, i, inst)
@@ -147,11 +184,22 @@ def instanced_any_hit(iscene: InstancedScene, o3, d3, tmax):
 
     blocked = jnp.zeros(tmax.shape, bool)
     for i in range(iscene.num_instances):
+        tm = jnp.where(blocked, -BIG, tmax)
+        touch = _ray_hits_box(o3, d3, tm, iscene.inst_lo[i],
+                              iscene.inst_hi[i])
         oo, dd = _to_object(iscene, i, o3, d3)
         orig = jnp.stack(oo, -1)
         dirn = jnp.stack(dd, -1)
-        tm = jnp.where(blocked, -BIG, tmax)
-        blocked = blocked | dispatch.any_hit(iscene.base, orig, dirn, tm)
+        tm_i = jnp.where(touch, tm, -BIG)
+
+        def _trace(args):
+            return dispatch.any_hit(iscene.base, *args)
+
+        def _skip(args):
+            return jnp.zeros(args[2].shape, bool)
+
+        blocked = blocked | jax.lax.cond(jnp.any(touch), _trace, _skip,
+                                         (orig, dirn, tm_i))
     return blocked
 
 

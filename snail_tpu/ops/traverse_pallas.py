@@ -279,17 +279,16 @@ def build_mask_boxv(bvh_box6, pg_box=None, page_cap=None):
         flat[nt:page_off, 3:6] = -1e30
         flat[page_off : page_off + np_pages * page_cap] = pgflat.reshape(
             -1, 6)
-        # every slot outside the top tree and the real page subtrees is
-        # made never-pass: the per-page node counts bound what a
-        # page-local walk can visit, so within-page padding keeps its
-        # zero box only up to that count
-        cnts = ((np.asarray(pg_box) != 0).reshape(np_pages, -1, 6)
-                .any(axis=2).sum(axis=1))
+        # slots between the top tree and the page region are made
+        # never-pass. WITHIN-page padding slots keep their zero boxes
+        # (degenerate at the origin, which CAN pass the interval test):
+        # that is safe because page-local walks only visit ids inside
+        # the page's real subtree, so those bits are never read — the
+        # kernel-layout pg_box gives no per-page node count to tighten
+        # them with
         used = np.zeros(total, bool)
         used[:nt] = True
-        for p in range(np_pages):
-            base = page_off + p * page_cap
-            used[base : base + int(cnts[p])] = True
+        used[page_off : page_off + np_pages * page_cap] = True
         flat[~used, 0:3] = 1e30
         flat[~used, 3:6] = -1e30
     nv = total // 1024

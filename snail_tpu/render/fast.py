@@ -529,9 +529,12 @@ def render_frame_fast(scene, camera: Camera, width: int, height: int,
 
 
 def stats_path_available(scene) -> bool:
-    from ..ops.traverse_pallas import IVAL_LEAF
+    from ..ops.traverse_pallas import IVAL_LEAF, _wl_available
 
-    return (
+    # worklist scenes of ANY size have counter-instrumented kernels
+    # (closing round-4's "stats path excludes paged scenes"); the walk
+    # fallback keeps its flat-only stats variants
+    return _wl_available(scene) or (
         scene.pk_meta is not None
         and scene.pg_meta is None
         and scene.leaf_max <= IVAL_LEAF
